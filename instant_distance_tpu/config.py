@@ -1,0 +1,174 @@
+"""Configuration for index construction and search.
+
+TPU-native analogue of the reference's ``Builder`` / ``Heuristic`` /
+``Config`` types (reference: instant-distance/src/lib.rs:21-128 and
+instant-distance-py/src/lib.rs:216-325).  Field names and defaults match the
+reference exactly: ef_search=100, ef_construction=100, ml=1/ln(M),
+heuristic on with keep_pruned=True (lib.rs:101-113, 121-128).
+
+TPU-only extras (batching, dtype, mesh) live on the same dataclass but are
+clearly separated; they have no effect on the logical graph semantics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import secrets
+from typing import Optional
+
+#: The parameter ``M`` from the HNSW paper (reference lib.rs:784-787).
+#: Upper layers keep M links per node, the zero layer keeps M * 2.
+DEFAULT_M = 32
+
+#: Sentinel for "no neighbor" adjacency slots.  The reference uses
+#: PointId(u32::MAX) (types.rs:293); as int32 that is exactly -1, so the two
+#: representations are bit-identical and serialization round-trips for free.
+INVALID = -1
+
+
+@dataclasses.dataclass(frozen=True)
+class Heuristic:
+    """Algorithm-4 neighbor-selection knobs (reference lib.rs:115-128)."""
+
+    #: Extend the candidate set with candidate neighbors before selecting
+    #: (useful only for extremely clustered data).
+    extend_candidates: bool = False
+    #: Keep pruned candidates to pad the neighbor set to a constant size.
+    keep_pruned: bool = True
+
+
+@dataclasses.dataclass
+class Config:
+    """All hyperparameters for building and searching an index.
+
+    Mirrors the reference's Python ``Config`` (instant-distance-py
+    src/lib.rs:216-256) plus TPU-native extras.
+    """
+
+    # -- reference-parity fields (same names, same defaults) ---------------
+    ef_search: int = 100
+    ef_construction: int = 100
+    ml: float = 1.0 / math.log(DEFAULT_M)
+    seed: Optional[int] = None  # None -> entropy, like Builder::default
+    heuristic: Optional[Heuristic] = dataclasses.field(default_factory=Heuristic)
+
+    # -- TPU-native extras -------------------------------------------------
+    #: Graph degree parameter M; zero layer stores 2*M links.
+    m: int = DEFAULT_M
+    #: Distance metric name (see ops.distance.METRICS) or a JAX-traceable
+    #: callable f(a[D], b[D]) -> scalar.  This is the ``Point`` trait
+    #: equivalent (reference lib.rs:780-782).  Default matches the
+    #: reference Python binding's FloatArray (squared Euclidean,
+    #: py src/lib.rs:378-420).
+    metric: object = "sqeuclidean"
+    #: Max number of points inserted per construction wave.  Waves double
+    #: from 1 up to this cap so early points see a dense enough graph.
+    wave_size: int = 2048
+    #: Storage dtype for points on device ("float32" or "bfloat16").
+    dtype: str = "float32"
+    #: Safety cap on beam-search iterations, as a multiple of ef.
+    max_iter_factor: int = 8
+
+    def __post_init__(self) -> None:
+        if self.seed is None:
+            self.seed = secrets.randbits(64)
+        if self.ef_construction < 1 or self.ef_search < 1:
+            raise ValueError("ef_search and ef_construction must be >= 1")
+        if self.m < 1:
+            raise ValueError("m must be >= 1")
+
+    @property
+    def m0(self) -> int:
+        """Zero-layer degree (M * 2), reference types.rs:83-85."""
+        return 2 * self.m
+
+
+class Builder:
+    """Fluent builder mirroring the reference API (lib.rs:21-113).
+
+    Example::
+
+        hnsw, ids = Builder().seed(42).ef_search(100).build_hnsw(points)
+    """
+
+    def __init__(self, config: Optional[Config] = None):
+        self._config = config if config is not None else Config()
+
+    def ef_construction(self, ef_construction: int) -> "Builder":
+        self._config.ef_construction = ef_construction
+        return self
+
+    def ef_search(self, ef: int) -> "Builder":
+        self._config.ef_search = ef
+        return self
+
+    def select_heuristic(self, params: Optional[Heuristic]) -> "Builder":
+        self._config.heuristic = params
+        return self
+
+    def ml(self, ml: float) -> "Builder":
+        self._config.ml = ml
+        return self
+
+    def seed(self, seed: int) -> "Builder":
+        self._config.seed = seed
+        return self
+
+    def metric(self, metric) -> "Builder":
+        self._config.metric = metric
+        return self
+
+    def progress(self, callback) -> "Builder":
+        """Register a progress callback ``f(done, total, phase)``.
+
+        TPU-native analogue of ``Builder::progress`` (lib.rs:71-75), which
+        takes an indicatif ProgressBar in the reference.
+        """
+        self._progress = callback
+        return self
+
+    def into_parts(self):
+        """Expose (ef_search, ef_construction, ml, seed), lib.rs:88-98."""
+        c = self._config
+        return (c.ef_search, c.ef_construction, c.ml, c.seed)
+
+    @property
+    def config(self) -> Config:
+        return self._config
+
+    def build(self, points, values):
+        """Build an ``HnswMap`` (reference lib.rs:78-80)."""
+        from .models.hnsw import HnswMap
+
+        return HnswMap.build(points, values, self._config,
+                             progress=getattr(self, "_progress", None))
+
+    def build_hnsw(self, points):
+        """Build an ``Hnsw``, returning (index, ids) (reference lib.rs:83-85)."""
+        from .models.hnsw import Hnsw
+
+        return Hnsw.build(points, self._config,
+                          progress=getattr(self, "_progress", None))
+
+
+def layer_sizes(n: int, ml: float, m: int = DEFAULT_M) -> list[tuple[int, int]]:
+    """Geometric layer sizing, top layer first.
+
+    Returns ``[(size, cumulative), ...]`` exactly like the reference's sizing
+    loop (lib.rs:238-250): repeatedly shrink by ``ml`` until the next level
+    would hold fewer than M points.  ``cumulative`` is the number of points
+    that exist at that layer *or above* once construction of the layer
+    completes; the list is ordered top layer first.
+    """
+    sizes = []
+    num = n
+    while True:
+        next_num = int(num * ml)  # f32 truncation parity is irrelevant here
+        if next_num < m:
+            break
+        sizes.append((num - next_num, num))
+        num = next_num
+    sizes.append((num, num))
+    sizes.reverse()
+    return sizes

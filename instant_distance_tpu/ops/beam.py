@@ -1,0 +1,165 @@
+"""Batched wavefront beam search — the TPU-native HNSW query engine.
+
+This replaces the reference's per-query heap + sorted-vec search state
+(``Search``: candidates BinaryHeap, sorted ``nearest``, ``Visited`` epoch
+bitset — instant-distance/src/lib.rs:556-778, types.rs:13-59) with a single
+fixed-shape *beam* per query: sorted arrays ``(dist f32[B, ef], pid i32[B,
+ef], expanded bool[B, ef])``.
+
+Equivalence argument (paper Alg. 2 == expanded-flag beam):
+the reference loop pops the heap's nearest candidate and breaks when it is
+further than the furthest of ``nearest``.  Every member of ``nearest`` was
+pushed to the heap when inserted, so unexpanded ``nearest`` members are
+always in the heap; any heap entry that fell out of ``nearest`` is further
+than the (monotonically shrinking) furthest and therefore triggers the
+break when popped.  Hence the loop expands exactly the nearest *unexpanded
+beam member* each step and terminates when none remain — which is precisely
+what this kernel does, one wavefront step for all B queries at once.
+A node pruned from a full beam can never re-enter (the beam max only
+decreases), so no visited bitset is needed: dedup against the current beam
+suffices.  Ties are broken by (distance, pid) exactly like ``Candidate``'s
+ordering (types.rs:229-234).
+
+Per step per query: one adjacency-row gather, one [B, K, D] point gather,
+one batched distance eval (VPU/MXU), one (ef+K)-wide sort-merge.  Traversal
+irregularity is amortized over thousands of concurrent queries per TPU step.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .distance import Metric
+
+_I32MAX = jnp.iinfo(jnp.int32).max
+
+
+def greedy_descent(queries, adj, points, metric: Metric, cur_d, cur_p,
+                   links: int, max_iters: int):
+    """Batched ef=1 greedy search on one layer (upper-layer descent).
+
+    Mirrors the reference's upper-layer phase (lib.rs:365-379 with ef=1):
+    repeatedly move to the lexicographically smallest ``(distance, pid)``
+    neighbor of the current node; stop at a local minimum.
+
+    Args:
+      queries: [B, D] query points.
+      adj:     [N_layer, R] int32 adjacency rows, -1 padded.
+      points:  [N, D] all points (pids index into this).
+      cur_d, cur_p: [B] entry state (distance already evaluated).
+    Returns:
+      (cur_d, cur_p): [B] the per-query local minimum.
+    """
+    b = queries.shape[0]
+
+    def cond(state):
+        it, _, _, done = state
+        return (it < max_iters) & ~jnp.all(done)
+
+    def body(state):
+        it, cd, cp, done = state
+        nb = adj[jnp.clip(cp, 0)][:, :links]                  # [B, K]
+        nvalid = (nb >= 0) & ~done[:, None]
+        nd = metric.gathered(queries, points[jnp.clip(nb, 0)])  # [B, K]
+        nd = jnp.where(nvalid, nd, jnp.inf)
+        md = jnp.min(nd, axis=1)                               # [B]
+        # tie-break equal distances by smallest pid (Candidate ordering)
+        mp = jnp.min(jnp.where(nd == md[:, None], nb, _I32MAX), axis=1)
+        better = (md < cd) | ((md == cd) & (mp < cp))
+        step = better & ~done
+        cd = jnp.where(step, md, cd)
+        cp = jnp.where(step, mp, cp)
+        done = done | ~better
+        return it + 1, cd, cp, done
+
+    _, cd, cp, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), cur_d, cur_p, jnp.zeros(b, bool)))
+    return cd, cp
+
+
+def beam_search_layer(queries, adj, points, metric: Metric,
+                      beam_d, beam_p, beam_e,
+                      links: int, max_iters: int):
+    """One layer of batched best-first search with an ef-wide beam.
+
+    The beam arrays must be sorted ascending by (dist, pid) with invalid
+    slots as (inf, -1, False).  ``links`` caps the neighbors considered per
+    row, matching the reference's ``NearestIter::take(links)``
+    (lib.rs:606, types.rs:172-192).
+
+    Returns the final sorted beam ``(beam_d, beam_p)``.
+    """
+    b, ef = beam_p.shape
+    slot = jax.lax.broadcasted_iota(jnp.int32, (b, ef), 1)
+
+    def expandable(bp, be):
+        return (bp >= 0) & ~be
+
+    def cond(state):
+        it, _, bp, be = state
+        return (it < max_iters) & jnp.any(expandable(bp, be))
+
+    def body(state):
+        it, bd, bp, be = state
+        exp = expandable(bp, be)                                # [B, ef]
+        has = jnp.any(exp, axis=1)                              # [B]
+        j = jnp.argmax(exp, axis=1)                             # first unexp.
+        cur = jnp.take_along_axis(bp, j[:, None], 1)[:, 0]      # [B]
+        nb = adj[jnp.clip(cur, 0)][:, :links]                   # [B, K]
+        nvalid = (nb >= 0) & has[:, None]
+        # dedup against current beam members
+        dup_beam = jnp.any(
+            (nb[:, :, None] == bp[:, None, :]) & (bp >= 0)[:, None, :], axis=2)
+        # dedup within the row (robustness for imported graphs)
+        k = nb.shape[1]
+        eye = jnp.tril(jnp.ones((k, k), bool), k=-1)
+        dup_row = jnp.any((nb[:, :, None] == nb[:, None, :]) & eye, axis=2)
+        nvalid &= ~dup_beam & ~dup_row
+        nd = metric.gathered(queries, points[jnp.clip(nb, 0)])  # [B, K]
+        nd = jnp.where(nvalid, nd, jnp.inf)
+        npid = jnp.where(nvalid, nb, -1)
+        # mark the chosen slot expanded
+        be = be | ((slot == j[:, None]) & has[:, None])
+        # merge beam with new candidates: sort by (dist, pid), keep ef best
+        cd = jnp.concatenate([bd, nd], axis=1)
+        cp = jnp.concatenate([bp, npid], axis=1)
+        ce = jnp.concatenate([be, jnp.zeros_like(nd, bool)], axis=1)
+        sd, sp, se = jax.lax.sort(
+            (cd, cp, ce.astype(jnp.int32)), dimension=1, num_keys=2)
+        return it + 1, sd[:, :ef], sp[:, :ef], se[:, :ef].astype(bool)
+
+    _, bd, bp, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), beam_d, beam_p, beam_e))
+    return bd, bp
+
+
+def hnsw_search(queries, zero_adj, upper_adjs, points, metric: Metric,
+                ef: int, m: int, zero_links: int,
+                max_iter_factor: int = 8, greedy_max_iters: int = 512):
+    """Full batched HNSW query: entry -> greedy descent -> zero-layer beam.
+
+    Mirrors ``Hnsw::search`` (lib.rs:352-383): the entry point is always pid
+    0 (the highest-layer point); upper layers run ef=1 with M links; the
+    zero layer runs the full beam with ``zero_links`` links (M*2 for
+    queries; M when used for construction at an upper target layer,
+    lib.rs:445).
+
+    Args:
+      upper_adjs: tuple of [N_l, M] adjacency arrays ordered TOP FIRST.
+    Returns:
+      (dists [B, ef], pids [B, ef]) sorted ascending; invalid slots (inf, -1).
+    """
+    b = queries.shape[0]
+    d0 = metric.gathered(queries, points[jnp.zeros((b, 1), jnp.int32)])[:, 0]
+    cur_d, cur_p = d0, jnp.zeros(b, jnp.int32)
+    for adj in upper_adjs:
+        cur_d, cur_p = greedy_descent(
+            queries, adj, points, metric, cur_d, cur_p,
+            links=min(m, adj.shape[1]), max_iters=greedy_max_iters)
+    beam_d = jnp.full((b, ef), jnp.inf, jnp.float32).at[:, 0].set(cur_d)
+    beam_p = jnp.full((b, ef), -1, jnp.int32).at[:, 0].set(cur_p)
+    beam_e = jnp.zeros((b, ef), bool)
+    return beam_search_layer(
+        queries, zero_adj, points, metric, beam_d, beam_p, beam_e,
+        links=zero_links, max_iters=max_iter_factor * ef + 16)

@@ -1,0 +1,28 @@
+"""Test configuration: force CPU with 8 virtual devices.
+
+Mirrors the multi-device test strategy described in SURVEY.md §4: the
+reference has no distributed tests; ours run sharding on a simulated
+8-device CPU mesh via --xla_force_host_platform_device_count.
+
+The session environment pins JAX to the axon TPU tunnel
+(JAX_PLATFORMS=axon via sitecustomize); tests must be hermetic, so we
+clear the pool IPs before the sitecustomize hook can register the plugin
+and force the platform to CPU after import.  Set
+INSTANT_TPU_TEST_PLATFORM to run the suite on another platform.
+"""
+
+import os
+
+_platform = os.environ.get("INSTANT_TPU_TEST_PLATFORM", "cpu")
+if _platform == "cpu":
+    os.environ["PALLAS_AXON_POOL_IPS"] = ""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+if _platform == "cpu":
+    jax.config.update("jax_platforms", "cpu")
