@@ -1,0 +1,342 @@
+"""Wave-based batched HNSW construction — the TPU replacement for
+rayon-parallel insertion.
+
+The reference builds the graph by inserting points one at a time from a
+rayon thread pool, synchronizing on per-node RwLocks (lib.rs:304-328,
+437-528).  On TPU the same layer-by-layer schedule runs as *insertion
+waves*: a batch of W points searches the frozen pre-wave graph together
+(batched beam search), selects neighbors together (batched Alg. 4), and
+commits forward + reverse edges with deterministic segment-sorted scatters
+instead of locks.  Wave sizes double from 1 up to ``config.wave_size`` so
+early points always see a graph comparable to their insertion order —
+the batched analogue of sequential insertion order, and the reason recall
+matches the reference's sequential build (see tests/test_construction.py).
+
+Reverse-edge commit (the lock-free replacement for lib.rs:481-517):
+  1. flatten all (target, source, dist) forward edges of the wave;
+  2. sort by (target, dist) and segment by target — unique targets get a
+     dense pending-additions table via rank-in-segment scatter;
+  3. for every affected target, re-run neighbor selection over
+     {current row} ∪ {pending additions} (Alg. 4, as the reference's
+     ``add_neighbor_heuristic`` does per edge, lib.rs:616-631) or a
+     sorted merge-truncate for simple selection;
+  4. one scatter writes all rewritten rows — targets are unique, so the
+     commit is conflict-free and deterministic.
+
+All shapes are static for the whole build: adjacency is preallocated
+[N+1, M*2] (row N is a write sink for padded lanes), upper-layer
+snapshots live in one preallocated stacked buffer indexed by dynamic
+offsets, and wave sizes are bucketed to powers of two.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config, layer_sizes
+from .beam import beam_search_layer
+from .distance import Metric, resolve
+from . import select as sel_ops
+
+_I32MAX = jnp.iinfo(jnp.int32).max
+
+
+# ---------------------------------------------------------------------------
+# upper-layer greedy descent over the stacked snapshot buffer
+# ---------------------------------------------------------------------------
+
+def _greedy_stacked(queries, stacked, offsets, n_upper, points,
+                    metric: Metric, m: int, cur_d, cur_p,
+                    max_iters: int = 512):
+    """ef=1 greedy descent through ``n_upper`` stacked snapshot layers.
+
+    ``stacked`` is [cap_rows, m]: the concatenation (top layer first) of
+    completed layer snapshots; ``offsets[i]`` is the row offset of the
+    i-th layer from the top.  ``n_upper`` is dynamic, so one compiled
+    program serves every target layer of the build.
+    """
+    b = queries.shape[0]
+
+    def layer_body(i, st):
+        cd, cp = st
+        off = offsets[i]
+
+        def cond(s):
+            it, _, _, done = s
+            return (it < max_iters) & ~jnp.all(done)
+
+        def body(s):
+            it, cd, cp, done = s
+            nb = stacked[off + jnp.clip(cp, 0)][:, :m]
+            nvalid = (nb >= 0) & ~done[:, None]
+            nd = metric.gathered(queries, points[jnp.clip(nb, 0)])
+            nd = jnp.where(nvalid, nd, jnp.inf)
+            md = jnp.min(nd, axis=1)
+            mp = jnp.min(jnp.where(nd == md[:, None], nb, _I32MAX), axis=1)
+            better = (md < cd) | ((md == cd) & (mp < cp))
+            step = better & ~done
+            return (it + 1, jnp.where(step, md, cd),
+                    jnp.where(step, mp, cp), done | ~better)
+
+        _, cd, cp, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), cd, cp, jnp.zeros(b, bool)))
+        return cd, cp
+
+    return jax.lax.fori_loop(0, n_upper, layer_body, (cur_d, cur_p))
+
+
+# ---------------------------------------------------------------------------
+# reverse-edge grouping
+# ---------------------------------------------------------------------------
+
+def _group_reverse_edges(sel_d, sel_p, wave_pids, n: int, pend_cap: int):
+    """Group the wave's forward edges by target pid.
+
+    Returns (utgt [U], pend_d [U, A], pend_p [U, A]) where U = W * m0 and
+    slot u holds the u-th unique target with its pending (source, dist)
+    additions sorted by distance.  Empty slots have utgt = -1.
+    """
+    w, m0 = sel_p.shape
+    e = w * m0
+    tgt = sel_p.reshape(e)
+    dist = sel_d.reshape(e)
+    src = jnp.repeat(wave_pids, m0)
+    valid = (tgt >= 0) & (src >= 0)
+
+    key = jnp.where(valid, tgt, _I32MAX)
+    key, dist, src = jax.lax.sort((key, dist, src), dimension=0, num_keys=2,
+                                  is_stable=True)
+    valid = key != _I32MAX
+    first = jnp.concatenate(
+        [valid[:1], (key[1:] != key[:-1]) & valid[1:]])
+    uid = jnp.cumsum(first) - 1                                  # [E]
+    pos = jnp.arange(e)
+    seg_pos = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(first, pos, -1))
+    rank = pos - seg_pos                                         # [E]
+
+    uid_s = jnp.where(valid, uid, e).astype(jnp.int32)
+    pend_p = jnp.full((e + 1, pend_cap), -1, jnp.int32).at[
+        uid_s, jnp.minimum(rank, pend_cap)].set(src, mode="drop")[:e]
+    pend_d = jnp.full((e + 1, pend_cap), jnp.inf, jnp.float32).at[
+        uid_s, jnp.minimum(rank, pend_cap)].set(dist, mode="drop")[:e]
+    utgt = jnp.full(e + 1, -1, jnp.int32).at[
+        jnp.where(first, uid_s, e)].set(key, mode="drop")[:e]
+    return utgt, pend_d, pend_p
+
+
+# ---------------------------------------------------------------------------
+# the jitted wave step
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric_name", "efc", "m", "m0", "zero_links",
+                     "heuristic", "rev_chunk", "pend_cap",
+                     "max_iter_factor"),
+    donate_argnames=("adj", "adjd"))
+def _wave_step(adj, adjd, wave_pids, points, stacked, offsets, n_upper, *,
+               metric_name, efc: int, m: int, m0: int, zero_links: int,
+               heuristic, rev_chunk: int, pend_cap: int,
+               max_iter_factor: int):
+    """Insert one wave of points: search, select, commit edges.
+
+    ``adj``/``adjd`` are [N+1, m0] (row N is the padded-lane write sink).
+    ``heuristic`` is None or (extend_candidates, keep_pruned).
+    """
+    metric = resolve(metric_name)
+    n = adj.shape[0] - 1
+    w = wave_pids.shape[0]
+    wvalid = wave_pids >= 0
+    q = points[jnp.clip(wave_pids, 0)]                       # [W, D]
+
+    # --- search the pre-wave graph (Alg. 1's descent, lib.rs:447-463) ---
+    d0 = metric.gathered(q, points[jnp.zeros((w, 1), jnp.int32)])[:, 0]
+    cur_d, cur_p = _greedy_stacked(q, stacked, offsets, n_upper, points,
+                                   metric, m, d0, jnp.zeros(w, jnp.int32))
+    beam_d = jnp.full((w, efc), jnp.inf, jnp.float32).at[:, 0].set(cur_d)
+    beam_p = jnp.full((w, efc), -1, jnp.int32).at[:, 0].set(cur_p)
+    beam_e = jnp.zeros((w, efc), bool)
+    cand_d, cand_p = beam_search_layer(
+        q, adj, points, metric, beam_d, beam_p, beam_e,
+        links=zero_links, max_iters=max_iter_factor * efc + 16)
+
+    # --- forward selection (lib.rs:465-473) -----------------------------
+    if heuristic is None:
+        sel_d, sel_p = sel_ops.select_simple(cand_d, cand_p, m0)
+    else:
+        extend, keep_pruned = heuristic
+        if extend:
+            cand_d, cand_p = sel_ops.extend_candidates(
+                q, cand_d, cand_p, adj, points, metric,
+                links=zero_links, cap=efc + m0)
+        cand_pts = points[jnp.clip(cand_p, 0)]
+        sel_d, sel_p = sel_ops.select_heuristic(
+            q, cand_d, cand_p, cand_pts, metric, m0,
+            keep_pruned=keep_pruned)
+    sel_p = jnp.where(wvalid[:, None], sel_p, -1)
+    sel_d = jnp.where(sel_p >= 0, sel_d, jnp.inf)
+
+    # --- commit forward rows (node.set(i, pid), lib.rs:516) -------------
+    rows = jnp.where(wvalid, wave_pids, n)
+    adj = adj.at[rows].set(sel_p)
+    adjd = adjd.at[rows].set(sel_d)
+
+    # --- group + commit reverse edges (lib.rs:481-515) ------------------
+    utgt, pend_d, pend_p = _group_reverse_edges(
+        sel_d, sel_p, wave_pids, n, pend_cap)
+    u = utgt.shape[0]
+    c_rev = min(m0 + pend_cap, max(efc, m0))
+
+    def rev_chunk_fn(args):
+        ut, pd_, pp_ = args                                # [RC], [RC, A]
+        ut_c = jnp.clip(ut, 0)
+        row_p = adj[ut_c]
+        row_d = jnp.where(row_p >= 0, adjd[ut_c], jnp.inf)
+        comb_p = jnp.concatenate([row_p, pp_], axis=1)
+        comb_d = jnp.concatenate(
+            [row_d, jnp.where(pp_ >= 0, pd_, jnp.inf)], axis=1)
+        comb_p = jnp.where(jnp.isfinite(comb_d), comb_p, -1)
+        # candidate list sorted by (dist, pid), capped like the
+        # reference's insertion Search at ef_construction (lib.rs:439-441)
+        cd, cp = jax.lax.sort((comb_d, comb_p), dimension=1, num_keys=2)
+        cd, cp = cd[:, :c_rev], cp[:, :c_rev]
+        if heuristic is None:
+            return sel_ops.select_simple(cd, cp, m0)
+        tq = points[ut_c]
+        cpts = points[jnp.clip(cp, 0)]
+        return sel_ops.select_heuristic(
+            tq, cd, cp, cpts, metric, m0, keep_pruned=heuristic[1])
+
+    rc = min(rev_chunk, u)
+    n_chunks = (u + rc - 1) // rc
+    pad = n_chunks * rc - u
+    ut_p = jnp.pad(utgt, (0, pad), constant_values=-1).reshape(n_chunks, rc)
+    pd_p = jnp.pad(pend_d, ((0, pad), (0, 0)),
+                   constant_values=np.inf).reshape(n_chunks, rc, pend_cap)
+    pp_p = jnp.pad(pend_p, ((0, pad), (0, 0)),
+                   constant_values=-1).reshape(n_chunks, rc, pend_cap)
+    new_d, new_p = jax.lax.map(rev_chunk_fn, (ut_p, pd_p, pp_p))
+    new_d = new_d.reshape(-1, m0)[:u]
+    new_p = new_p.reshape(-1, m0)[:u]
+
+    trows = jnp.where(utgt >= 0, utgt, n)
+    adj = adj.at[trows].set(new_p)
+    adjd = adjd.at[trows].set(new_d)
+    return adj, adjd
+
+
+# ---------------------------------------------------------------------------
+# host-side build driver
+# ---------------------------------------------------------------------------
+
+def _wave_schedule(start: int, end: int, cap: int):
+    """Doubling wave sizes: wave <= points already inserted (so batched
+    insertion approximates sequential insertion order)."""
+    s = start
+    while s < end:
+        w = min(max(s, 1), cap, end - s)
+        yield s, s + w
+        s += w
+
+
+def _bucket(w: int) -> int:
+    return 1 << max(0, math.ceil(math.log2(w))) if w > 1 else 1
+
+
+class BuiltGraph:
+    """Result of construction: the dense arrays an index is made of."""
+
+    def __init__(self, points, zero, layers, ids, config):
+        self.points = points      # [N, D] device array, pid order
+        self.zero = zero          # [N, m0] int32
+        self.layers = layers      # list: layers[l-1] = level l, [end_l, m]
+        self.ids = ids            # np [N]: original index -> pid
+        self.config = config
+
+
+def build_graph(points, config: Config, progress=None) -> BuiltGraph:
+    """Build the layered graph with batched insertion waves.
+
+    Reproduces the reference's construction schedule (``Hnsw::new``,
+    lib.rs:209-345): geometric layer sizing, seeded random shuffle into
+    pid order, per-layer insertion ranges (point 0 is the fixed entry and
+    never inserted), and post-layer truncated snapshots.
+    """
+    cfg = config
+    metric_name = cfg.metric if isinstance(cfg.metric, str) else cfg.metric
+    pts = np.asarray(points, np.float32)
+    n = len(pts)
+    m, m0 = cfg.m, cfg.m0
+
+    if n == 0:
+        empty = jnp.zeros((0, pts.shape[1] if pts.ndim == 2 else 0),
+                          jnp.float32)
+        return BuiltGraph(empty, jnp.full((0, m0), -1, jnp.int32), [],
+                          np.zeros(0, np.int32), cfg)
+    if n >= 2**31:
+        raise ValueError("point count must fit in int32")
+
+    # random layer assignment via shuffle-sort (lib.rs:256-270)
+    rng = np.random.default_rng(cfg.seed)
+    keys = rng.integers(0, n, size=n)
+    order = np.lexsort((np.arange(n), keys))
+    ids = np.empty(n, np.int32)
+    ids[order] = np.arange(n, dtype=np.int32)
+    pts = pts[order]
+
+    sizes = layer_sizes(n, cfg.ml, m)
+    top = len(sizes) - 1
+    ranges = [(top - i, max(c - s, 1), c) for i, (s, c) in enumerate(sizes)]
+
+    dev_points = jnp.asarray(pts)
+    adj = jnp.full((n + 1, m0), -1, jnp.int32)
+    adjd = jnp.full((n + 1, m0), jnp.inf, jnp.float32)
+
+    # stacked upper-snapshot buffer: filled top layer first as layers
+    # complete; capacity is known exactly from the sizing schedule.
+    cap_rows = max(1, sum(c for (_, c) in sizes[:-1]))
+    stacked = jnp.full((cap_rows, m), -1, jnp.int32)
+    offsets = np.zeros(16, np.int32)  # fixed size: stable jit signature
+    if top > 16:
+        raise ValueError("more than 16 upper layers (n too large for ml)")
+    write_off = 0
+
+    heur = (None if cfg.heuristic is None else
+            (cfg.heuristic.extend_candidates, cfg.heuristic.keep_pruned))
+    layers: list = []
+    done = 0
+    for li, (layer, start, end) in enumerate(ranges):
+        n_upper = jnp.int32(li)  # layers completed so far == layers above
+        zero_links = m0 if layer == 0 else m
+        for s, e in _wave_schedule(start, end, cfg.wave_size):
+            w = e - s
+            wb = _bucket(w)
+            wave = np.full(wb, -1, np.int32)
+            wave[:w] = np.arange(s, e, dtype=np.int32)
+            adj, adjd = _wave_step(
+                adj, adjd, jnp.asarray(wave), dev_points, stacked,
+                jnp.asarray(offsets), n_upper,
+                metric_name=metric_name, efc=cfg.ef_construction,
+                m=m, m0=m0, zero_links=zero_links, heuristic=heur,
+                rev_chunk=2048, pend_cap=min(m0, 64),
+                max_iter_factor=cfg.max_iter_factor)
+            done += w
+            if progress is not None:
+                progress(done, n, f"layer {layer}")
+        if layer > 0:
+            snap = adj[:end, :m]
+            layers.append(snap)
+            stacked = jax.lax.dynamic_update_slice(
+                stacked, snap, (write_off, 0))
+            offsets[li] = write_off
+            write_off += end
+
+    layers.reverse()  # store as reference does: layers[l-1] = level l
+    return BuiltGraph(dev_points, adj[:n], layers, ids, cfg)

@@ -1,0 +1,94 @@
+"""Wave-based construction validation.
+
+Reproduces the reference's randomized recall test strategy
+(instant-distance/tests/all.rs:41-88): 1024 uniform random 2-d points,
+recall@100 vs brute force through the build's id remap, floors 97/100
+(heuristic) and 90/100 (simple).  Adds graph invariant checks the
+reference enforces via types (fixed-degree rows, INVALID-terminated
+prefixes, no self loops/duplicates).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from instant_distance_tpu.config import Config, Heuristic
+from instant_distance_tpu.models.brute import BruteForce
+from instant_distance_tpu.ops.beam import hnsw_search
+from instant_distance_tpu.ops.construct import build_graph
+from instant_distance_tpu.ops.distance import resolve
+
+
+def _search(graph, queries, ef):
+    cfg = graph.config
+    d, p = hnsw_search(
+        jnp.asarray(queries, jnp.float32), graph.zero,
+        tuple(reversed(graph.layers)), graph.points,
+        resolve(cfg.metric), ef=ef, m=cfg.m, zero_links=cfg.m0)
+    return np.asarray(d), np.asarray(p)
+
+
+@pytest.mark.parametrize("heuristic", [Heuristic(), None],
+                         ids=["heuristic", "simple"])
+def test_wave_build_recall_1024(heuristic):
+    seed = np.random.randint(0, 2**31)
+    rng = np.random.default_rng(seed)
+    pts = rng.random((1024, 2), dtype=np.float32)
+    cfg = Config(seed=seed, metric="euclidean", heuristic=heuristic)
+    graph = build_graph(pts, cfg)
+
+    queries = rng.random((32, 2), dtype=np.float32)
+    gt_d, gt_p = BruteForce(np.asarray(graph.points),
+                            "euclidean").search_batch(queries, 100)
+    d, p = _search(graph, queries, ef=100)
+
+    recalls = []
+    for i in range(len(queries)):
+        got = set(p[i, :100].tolist())
+        want = set(np.asarray(gt_p)[i].tolist())
+        recalls.append(len(got & want))
+    mean = float(np.mean(recalls))
+    floor = 97 if heuristic is not None else 90
+    print(f"seed={seed} wave-build recall@100={mean}")
+    assert mean > floor, f"recall {mean} (floor {floor}), seed {seed}"
+
+
+def test_graph_invariants():
+    seed = 99
+    rng = np.random.default_rng(seed)
+    pts = rng.random((600, 4), dtype=np.float32)
+    cfg = Config(seed=seed)
+    graph = build_graph(pts, cfg)
+    zero = np.asarray(graph.zero)
+    n = len(pts)
+
+    # ids is a permutation
+    assert sorted(graph.ids.tolist()) == list(range(n))
+    # in-range pids, no self loops
+    assert zero.max() < n
+    for pid in range(n):
+        row = zero[pid]
+        valid = row[row >= 0]
+        assert pid not in valid, f"self loop at {pid}"
+        assert len(set(valid.tolist())) == len(valid), f"dup in row {pid}"
+        # INVALID-terminated prefix (types.rs:178-191 iteration contract)
+        first_invalid = np.argmax(row < 0) if (row < 0).any() else len(row)
+        assert (row[first_invalid:] < 0).all(), f"hole in row {pid}"
+    # upper layers are truncated prefixes over the right ranges
+    for snap in graph.layers:
+        s = np.asarray(snap)
+        assert s.shape[1] == cfg.m
+        assert s.max() < n
+
+    # every point reachable as its own nearest neighbor (self recall)
+    d, p = _search(graph, np.asarray(graph.points)[:64], ef=16)
+    assert (p[:, 0] == np.arange(64)).mean() > 0.95
+
+
+def test_build_empty_and_single():
+    cfg = Config(seed=3)
+    g = build_graph(np.zeros((0, 3), np.float32), cfg)
+    assert g.zero.shape[0] == 0 and g.layers == []
+    g1 = build_graph(np.ones((1, 3), np.float32), cfg)
+    assert g1.zero.shape == (1, cfg.m0)
+    assert (np.asarray(g1.zero) == -1).all()
