@@ -1,0 +1,261 @@
+"""Public index API: ``Hnsw``, ``HnswMap``, ``Search``, ``Neighbor``.
+
+Mirrors the reference's API surface — the Rust crate root types
+(instant-distance/src/lib.rs: Builder, Hnsw, HnswMap, Search, Item,
+MapItem, PointId) and the Python binding classes (instant-distance-py
+src/lib.rs: Hnsw, HnswMap, Search, Config, Heuristic, Neighbor) — with
+TPU-native extensions: ``search_batch`` for thousands of concurrent
+queries per device step, pluggable metrics, and device-resident dense
+graph storage.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Iterator, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..ops.beam import hnsw_search
+from ..ops.construct import BuiltGraph, build_graph
+from ..ops.distance import resolve
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("metric_name", "ef", "m", "zero_links",
+                                    "max_iter_factor"))
+def _search_jit(queries, zero, upper, points, *, metric_name, ef, m,
+                zero_links, max_iter_factor):
+    return hnsw_search(queries, zero, upper, points, resolve(metric_name),
+                       ef=ef, m=m, zero_links=zero_links,
+                       max_iter_factor=max_iter_factor)
+
+
+@dataclasses.dataclass
+class Neighbor:
+    """One search result (reference py src/lib.rs:327-357).
+
+    ``value`` is None for plain ``Hnsw`` results, matching the binding's
+    ``Neighbor { value: py.None() }`` behavior.
+    """
+
+    distance: float
+    pid: int
+    value: Any = None
+
+    def __repr__(self) -> str:
+        if self.value is None:
+            return (f"instant_distance.Item(distance={self.distance}, "
+                    f"pid={self.pid})")
+        return (f"instant_distance.Neighbor(distance={self.distance}, "
+                f"pid={self.pid}, value={self.value!r})")
+
+
+# Item/MapItem aliases for Rust-API users (lib.rs:175-191, 399-413).
+Item = Neighbor
+MapItem = Neighbor
+
+
+class Search:
+    """Search buffer and result set (reference py src/lib.rs:159-209).
+
+    Holds the results of the most recent ``search`` call; iterate it to
+    get ``Neighbor``s.  In the reference this owns reusable scratch
+    buffers; on TPU the scratch is device memory managed by XLA, so this
+    object only carries results — but the reuse-API shape is preserved.
+    """
+
+    def __init__(self) -> None:
+        self._dists: Optional[np.ndarray] = None
+        self._pids: Optional[np.ndarray] = None
+        self._index: Optional["Hnsw"] = None
+        self._map: Optional["HnswMap"] = None
+        self._cur = 0
+
+    def _arm(self, dists, pids, index=None, map_=None):
+        self._dists, self._pids = dists, pids
+        self._index, self._map = index, map_
+        self._cur = 0
+
+    def __iter__(self) -> "Search":
+        self._cur = 0
+        return self
+
+    def __next__(self) -> Neighbor:
+        while True:
+            if self._pids is None or self._cur >= len(self._pids):
+                raise StopIteration
+            pid = int(self._pids[self._cur])
+            dist = float(self._dists[self._cur])
+            self._cur += 1
+            if pid >= 0:
+                break
+        value = self._map.values[pid] if self._map is not None else None
+        return Neighbor(dist, pid, value)
+
+    def __len__(self) -> int:
+        if self._pids is None:
+            return 0
+        return int((self._pids >= 0).sum())
+
+
+class Hnsw:
+    """Immutable HNSW index (reference lib.rs:193-397).
+
+    Dense TPU-native storage: ``points`` [N, D] float32, ``zero`` [N, M*2]
+    int32 adjacency, ``layers`` list of [end_l, M] upper-layer snapshots
+    (layers[l-1] = level l, exactly the reference's layout for
+    serialization parity).
+    """
+
+    def __init__(self, points, zero, layers, config: Config):
+        self.points = jnp.asarray(points, jnp.float32)
+        self.zero = jnp.asarray(zero, jnp.int32)
+        self.layers = [jnp.asarray(l, jnp.int32) for l in layers]
+        self.config = config
+        self.metric = resolve(config.metric)
+
+    # -- construction ------------------------------------------------------
+    @classmethod
+    def build(cls, points, config: Optional[Config] = None, *,
+              progress=None) -> tuple["Hnsw", np.ndarray]:
+        """Build the index; returns (index, ids) where ids maps the
+        original point order to PointIds (reference lib.rs:83-85 and the
+        binding's Hnsw.build, py src/lib.rs:110-119)."""
+        config = config or Config()
+        g: BuiltGraph = build_graph(points, config, progress=progress)
+        return cls(g.points, g.zero, g.layers, config), g.ids
+
+    # -- queries -----------------------------------------------------------
+    def _run_search(self, queries, ef):
+        cfg = self.config
+        return _search_jit(
+            queries, self.zero, tuple(reversed(self.layers)), self.points,
+            metric_name=(cfg.metric if isinstance(cfg.metric, str)
+                         else cfg.metric),
+            ef=ef, m=cfg.m, zero_links=cfg.m0,
+            max_iter_factor=cfg.max_iter_factor)
+
+    def search_batch(self, queries, k: Optional[int] = None,
+                     ef: Optional[int] = None):
+        """TPU-native batched query: [B, D] -> (dists [B, k], pids [B, k]).
+
+        The reference searches one query at a time (lib.rs:352-383); on
+        TPU, B queries traverse the graph together as one wavefront.
+        """
+        queries = jnp.asarray(queries, jnp.float32)
+        single = queries.ndim == 1
+        if single:
+            queries = queries[None]
+        ef = ef or self.config.ef_search
+        k = k or ef
+        if k > ef:
+            raise ValueError(f"k={k} > ef={ef}")
+        d, p = self._run_search(queries, ef)
+        return d[:, :k], p[:, :k]
+
+    def search(self, point, search: Search) -> Iterator[Neighbor]:
+        """Single-query API parity (py src/lib.rs:146-156): fills and
+        arms the ``Search``; returns an iterator over it."""
+        if len(self.points) == 0:
+            search._arm(np.zeros(0, np.float32), np.zeros(0, np.int32),
+                        index=self)
+            return iter(search)
+        d, p = self.search_batch(jnp.asarray(point, jnp.float32))
+        search._arm(np.asarray(d[0]), np.asarray(p[0]), index=self)
+        return iter(search)
+
+    # -- introspection (lib.rs:386-396, types.rs:269-275) ------------------
+    def __len__(self) -> int:
+        return int(self.points.shape[0])
+
+    def __getitem__(self, pid: int):
+        return np.asarray(self.points[pid])
+
+    def iter(self):
+        pts = np.asarray(self.points)
+        return ((i, pts[i]) for i in range(len(pts)))
+
+    def get(self, i: int, search: Search) -> Optional[Neighbor]:
+        if search._pids is None or i >= len(search._pids):
+            return None
+        pid = int(search._pids[i])
+        if pid < 0:
+            return None
+        return Neighbor(float(search._dists[i]), pid)
+
+    # -- persistence -------------------------------------------------------
+    def dump(self, fname: str, format: str = "native") -> None:
+        from ..utils import serialize
+
+        serialize.dump(self, fname, format=format)
+
+    @classmethod
+    def load(cls, fname: str, format: str = "auto") -> "Hnsw":
+        from ..utils import serialize
+
+        obj = serialize.load(fname, format=format)
+        if not isinstance(obj, Hnsw) or isinstance(obj, HnswMap):
+            raise ValueError(f"{fname} does not contain a plain Hnsw")
+        return obj
+
+
+class HnswMap(Hnsw):
+    """Hnsw with values attached to points (reference lib.rs:130-191).
+
+    ``values`` are reordered into PointId order at build time
+    (lib.rs:141-152), so ``values[pid]`` is the value for point ``pid``.
+    """
+
+    def __init__(self, points, zero, layers, config, values: Sequence):
+        super().__init__(points, zero, layers, config)
+        self.values = list(values)
+
+    @classmethod
+    def build(cls, points, values, config: Optional[Config] = None, *,
+              progress=None) -> "HnswMap":
+        if len(points) != len(values):
+            raise ValueError("points and values must have the same length")
+        config = config or Config()
+        g = build_graph(points, config, progress=progress)
+        # reorder values into PointId order: ids[src] = pid
+        reordered = [None] * len(values)
+        for src, pid in enumerate(g.ids):
+            reordered[pid] = values[src]
+        return cls(g.points, g.zero, g.layers, config, reordered)
+
+    def search(self, point, search: Search) -> Iterator[Neighbor]:
+        if len(self.points) == 0:
+            search._arm(np.zeros(0, np.float32), np.zeros(0, np.int32),
+                        map_=self)
+            return iter(search)
+        d, p = self.search_batch(jnp.asarray(point, jnp.float32))
+        search._arm(np.asarray(d[0]), np.asarray(p[0]), map_=self)
+        return iter(search)
+
+    def search_batch_values(self, queries, k: Optional[int] = None):
+        """Batched query returning (dists, pids, values-nested-list)."""
+        d, p = self.search_batch(queries, k)
+        pn = np.asarray(p)
+        vals = [[self.values[pid] if pid >= 0 else None for pid in row]
+                for row in pn]
+        return d, p, vals
+
+    def get(self, i: int, search: Search) -> Optional[Neighbor]:
+        item = super().get(i, search)
+        if item is not None:
+            item.value = self.values[item.pid]
+        return item
+
+    @classmethod
+    def load(cls, fname: str, format: str = "auto") -> "HnswMap":
+        from ..utils import serialize
+
+        obj = serialize.load(fname, format=format)
+        if not isinstance(obj, HnswMap):
+            raise ValueError(f"{fname} does not contain an HnswMap")
+        return obj

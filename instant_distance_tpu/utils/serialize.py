@@ -1,0 +1,205 @@
+"""Index persistence: native .npz format + reference-compatible bincode.
+
+The reference serializes whole indices with serde+bincode 1.3 through the
+Python binding (instant-distance-py src/lib.rs:59-75,121-137); the derived
+layout is field-declaration order with bincode's legacy config (little
+endian, fixed-width ints, u64 lengths):
+
+    HnswMap {
+      hnsw: Hnsw {
+        ef_search: u64,
+        points:  Vec<FloatArray>,       # u64 len + n * D * f32 (big-array:
+                                        # fixed tuple, no per-row length)
+        zero:    Vec<ZeroNode>,         # u64 len + n * (2M * u32)
+        layers:  Vec<Vec<UpperNode>>,   # u64 len + per layer: u64 len +
+                                        # rows * (M * u32)
+      },
+      values: Vec<MapValue>,            # u64 len + per value: u32 enum tag
+                                        # (0 = String) + u64 len + utf8
+    }
+
+INVALID is u32::MAX (types.rs:293) == int32 -1 bit-for-bit, so adjacency
+arrays round-trip by uint32<->int32 view with no translation.
+
+The native format is a plain .npz (graph arrays + JSON config + values),
+which is fast, self-describing, and mmap-friendly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+import json
+import struct
+from typing import Optional
+
+import numpy as np
+
+from ..config import Config, Heuristic
+
+_MAGIC = "instant-distance-tpu/v1"
+
+#: The reference binding's fixed dimensionality (py src/lib.rs:448).
+REFERENCE_DIMS = 300
+
+
+# ---------------------------------------------------------------------------
+# native npz
+# ---------------------------------------------------------------------------
+
+def _config_to_json(cfg: Config) -> str:
+    d = dataclasses.asdict(cfg)
+    if not isinstance(d.get("metric"), str):
+        d["metric"] = "custom"  # callables can't be serialized
+    return json.dumps(d)
+
+
+def _config_from_json(s: str) -> Config:
+    d = json.loads(s)
+    h = d.pop("heuristic", None)
+    cfg = Config(**{k: v for k, v in d.items()
+                    if k in {f.name for f in dataclasses.fields(Config)}})
+    cfg.heuristic = Heuristic(**h) if h is not None else None
+    return cfg
+
+
+def dump_native(index, fname: str) -> None:
+    arrays = {
+        "magic": np.array(_MAGIC),
+        "config": np.array(_config_to_json(index.config)),
+        "points": np.asarray(index.points, np.float32),
+        "zero": np.asarray(index.zero, np.int32),
+        "n_layers": np.array(len(index.layers), np.int64),
+    }
+    for i, layer in enumerate(index.layers):
+        arrays[f"layer_{i}"] = np.asarray(layer, np.int32)
+    values = getattr(index, "values", None)
+    if values is not None:
+        arrays["values"] = np.array(json.dumps(list(values)))
+    with open(fname, "wb") as f:
+        np.savez(f, **arrays)
+
+
+def load_native(fname: str):
+    from ..models.hnsw import Hnsw, HnswMap
+
+    with np.load(fname, allow_pickle=False) as z:
+        if str(z["magic"]) != _MAGIC:
+            raise ValueError(f"{fname}: not an instant-distance-tpu index")
+        cfg = _config_from_json(str(z["config"]))
+        points = z["points"]
+        zero = z["zero"]
+        layers = [z[f"layer_{i}"] for i in range(int(z["n_layers"]))]
+        if "values" in z.files:
+            values = json.loads(str(z["values"]))
+            return HnswMap(points, zero, layers, cfg, values)
+        return Hnsw(points, zero, layers, cfg)
+
+
+# ---------------------------------------------------------------------------
+# bincode (reference cross-validation format)
+# ---------------------------------------------------------------------------
+
+def _w_u64(f, v: int) -> None:
+    f.write(struct.pack("<Q", v))
+
+
+def _r_u64(f) -> int:
+    return struct.unpack("<Q", f.read(8))[0]
+
+
+def dump_bincode(index, fname: str, values_as_strings: bool = True) -> None:
+    """Write the reference's bincode layout (readable by the Rust crate's
+    ``load`` when D == 300 and M == 32)."""
+    points = np.asarray(index.points, np.float32)
+    zero = np.asarray(index.zero, np.int32).astype(np.uint32)
+    layers = [np.asarray(l, np.int32).astype(np.uint32)
+              for l in index.layers]
+    with open(fname, "wb") as f:
+        _w_u64(f, index.config.ef_search)
+        _w_u64(f, len(points))
+        f.write(points.astype("<f4").tobytes())
+        _w_u64(f, len(zero))
+        f.write(zero.astype("<u4").tobytes())
+        _w_u64(f, len(layers))
+        for layer in layers:
+            _w_u64(f, len(layer))
+            f.write(layer.astype("<u4").tobytes())
+        values = getattr(index, "values", None)
+        if values is not None:
+            _w_u64(f, len(values))
+            for v in values:
+                f.write(struct.pack("<I", 0))  # MapValue::String tag
+                data = str(v).encode("utf-8")
+                _w_u64(f, len(data))
+                f.write(data)
+
+
+def load_bincode(fname: str, dims: int = REFERENCE_DIMS,
+                 m: int = 32, config: Optional[Config] = None,
+                 has_values: Optional[bool] = None):
+    """Read a reference bincode dump.
+
+    ``dims`` must match the writer (the format has no header; the
+    reference binding hardcodes 300).  ``has_values`` None = autodetect
+    by trailing bytes.
+    """
+    from ..models.hnsw import Hnsw, HnswMap
+
+    with open(fname, "rb") as fh:
+        data = fh.read()
+    f = io.BytesIO(data)
+    ef_search = _r_u64(f)
+    n = _r_u64(f)
+    points = np.frombuffer(f.read(n * dims * 4), "<f4").reshape(n, dims)
+    nz = _r_u64(f)
+    if nz != n:
+        raise ValueError(f"zero rows {nz} != point count {n}")
+    zero = np.frombuffer(f.read(n * 2 * m * 4), "<u4").reshape(
+        n, 2 * m).view(np.int32)  # u32::MAX -> -1, bit-identical
+    nl = _r_u64(f)
+    layers = []
+    for _ in range(nl):
+        rows = _r_u64(f)
+        layers.append(np.frombuffer(
+            f.read(rows * m * 4), "<u4").reshape(rows, m).view(np.int32))
+    if has_values is None:
+        has_values = f.tell() < len(data)
+    cfg = config or Config(ef_search=ef_search, m=m)
+    cfg.ef_search = ef_search
+    if not has_values:
+        return Hnsw(points, zero, layers, cfg)
+    values = []
+    count = _r_u64(f)
+    for _ in range(count):
+        (tag,) = struct.unpack("<I", f.read(4))
+        if tag != 0:
+            raise ValueError(f"unknown MapValue variant {tag}")
+        ln = _r_u64(f)
+        values.append(f.read(ln).decode("utf-8"))
+    return HnswMap(points, zero, layers, cfg, values)
+
+
+# ---------------------------------------------------------------------------
+# front door
+# ---------------------------------------------------------------------------
+
+def dump(index, fname: str, format: str = "native") -> None:
+    if format == "native":
+        dump_native(index, fname)
+    elif format == "bincode":
+        dump_bincode(index, fname)
+    else:
+        raise ValueError(f"unknown format {format!r}")
+
+
+def load(fname: str, format: str = "auto", **kw):
+    if format == "auto":
+        with open(fname, "rb") as f:
+            head = f.read(4)
+        format = "native" if head.startswith(b"PK") else "bincode"
+    if format == "native":
+        return load_native(fname)
+    if format == "bincode":
+        return load_bincode(fname, **kw)
+    raise ValueError(f"unknown format {format!r}")

@@ -26,3 +26,7 @@ import jax  # noqa: E402
 
 if _platform == "cpu":
     jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: wave-step programs are reused across runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
