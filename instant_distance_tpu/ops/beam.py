@@ -86,11 +86,16 @@ def beam_search_layer(queries, adj, points, metric: Metric,
     The beam arrays must be sorted ascending by (dist, pid) with invalid
     slots as (inf, -1, False).  ``links`` caps the neighbors considered per
     row, matching the reference's ``NearestIter::take(links)``
-    (lib.rs:606, types.rs:172-192).
+    (lib.rs:606, types.rs:172-192); it may be a python int or a traced
+    scalar (the cap is applied as a mask, so one compiled program serves
+    both M and M*2 link counts during construction).
 
     Returns the final sorted beam ``(beam_d, beam_p)``.
     """
     b, ef = beam_p.shape
+    row_width = adj.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, row_width), 1)
+    link_mask = col < links                                     # [1, K]
     slot = jax.lax.broadcasted_iota(jnp.int32, (b, ef), 1)
 
     def expandable(bp, be):
@@ -106,8 +111,8 @@ def beam_search_layer(queries, adj, points, metric: Metric,
         has = jnp.any(exp, axis=1)                              # [B]
         j = jnp.argmax(exp, axis=1)                             # first unexp.
         cur = jnp.take_along_axis(bp, j[:, None], 1)[:, 0]      # [B]
-        nb = adj[jnp.clip(cur, 0)][:, :links]                   # [B, K]
-        nvalid = (nb >= 0) & has[:, None]
+        nb = adj[jnp.clip(cur, 0)]                              # [B, K]
+        nvalid = (nb >= 0) & has[:, None] & link_mask
         # dedup against current beam members
         dup_beam = jnp.any(
             (nb[:, :, None] == bp[:, None, :]) & (bp >= 0)[:, None, :], axis=2)

@@ -135,20 +135,16 @@ def _group_reverse_edges(sel_d, sel_p, wave_pids, n: int, pend_cap: int):
 # the jitted wave step
 # ---------------------------------------------------------------------------
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("metric_name", "efc", "m", "m0", "zero_links",
-                     "heuristic", "rev_chunk", "pend_cap",
-                     "max_iter_factor"),
-    donate_argnames=("adj", "adjd"))
-def _wave_step(adj, adjd, wave_pids, points, stacked, offsets, n_upper, *,
-               metric_name, efc: int, m: int, m0: int, zero_links: int,
-               heuristic, rev_chunk: int, pend_cap: int,
-               max_iter_factor: int):
+def wave_step_core(adj, adjd, wave_pids, points, stacked, offsets, n_upper,
+                   zero_links, *, metric_name, efc: int, m: int, m0: int,
+                   heuristic, rev_chunk: int, pend_cap: int,
+                   max_iter_factor: int):
     """Insert one wave of points: search, select, commit edges.
 
     ``adj``/``adjd`` are [N+1, m0] (row N is the padded-lane write sink).
     ``heuristic`` is None or (extend_candidates, keep_pruned).
+    ``zero_links`` (M*2 for a zero-layer wave, M above, lib.rs:445) is a
+    traced scalar so one compiled program serves every layer.
     """
     metric = resolve(metric_name)
     n = adj.shape[0] - 1
@@ -232,6 +228,13 @@ def _wave_step(adj, adjd, wave_pids, points, stacked, offsets, n_upper, *,
     return adj, adjd
 
 
+_wave_step = functools.partial(
+    jax.jit,
+    static_argnames=("metric_name", "efc", "m", "m0", "heuristic",
+                     "rev_chunk", "pend_cap", "max_iter_factor"),
+    donate_argnames=("adj", "adjd"))(wave_step_core)
+
+
 # ---------------------------------------------------------------------------
 # host-side build driver
 # ---------------------------------------------------------------------------
@@ -246,8 +249,13 @@ def _wave_schedule(start: int, end: int, cap: int):
         s += w
 
 
-def _bucket(w: int) -> int:
-    return 1 << max(0, math.ceil(math.log2(w))) if w > 1 else 1
+def _bucket(w: int, cap: int) -> int:
+    """Pad wave sizes to powers of 4 (capped): few distinct compiled
+    programs, bounded padding waste."""
+    b = 1
+    while b < w and b < cap:
+        b *= 4
+    return min(b, cap) if b >= w else cap
 
 
 class BuiltGraph:
@@ -317,14 +325,14 @@ def build_graph(points, config: Config, progress=None) -> BuiltGraph:
         zero_links = m0 if layer == 0 else m
         for s, e in _wave_schedule(start, end, cfg.wave_size):
             w = e - s
-            wb = _bucket(w)
+            wb = _bucket(w, cfg.wave_size)
             wave = np.full(wb, -1, np.int32)
             wave[:w] = np.arange(s, e, dtype=np.int32)
             adj, adjd = _wave_step(
                 adj, adjd, jnp.asarray(wave), dev_points, stacked,
-                jnp.asarray(offsets), n_upper,
+                jnp.asarray(offsets), n_upper, jnp.int32(zero_links),
                 metric_name=metric_name, efc=cfg.ef_construction,
-                m=m, m0=m0, zero_links=zero_links, heuristic=heur,
+                m=m, m0=m0, heuristic=heur,
                 rev_chunk=2048, pend_cap=min(m0, 64),
                 max_iter_factor=cfg.max_iter_factor)
             done += w

@@ -91,7 +91,7 @@ def select_heuristic(q_pts, cand_d, cand_p, cand_pts, metric: Metric,
 
 
 def extend_candidates(q_pts, cand_d, cand_p, adj, points, metric: Metric,
-                      links: int, cap: int):
+                      links, cap: int):
     """Candidate-set extension for Alg. 4's ``extend_candidates`` knob
     (lib.rs:648-664): add the neighbors of every candidate, dedup, sort by
     (distance, pid) and keep the ``cap`` nearest.
@@ -103,8 +103,11 @@ def extend_candidates(q_pts, cand_d, cand_p, adj, points, metric: Metric,
     for extremely clustered data.
     """
     w, c = cand_p.shape
-    hops = adj[jnp.clip(cand_p, 0)][:, :, :links].reshape(w, -1)   # [W, C*L]
-    hops = jnp.where((cand_p >= 0).repeat(links, axis=1), hops, -1)
+    k = adj.shape[1]
+    hops = adj[jnp.clip(cand_p, 0)].reshape(w, c * k)              # [W, C*K]
+    colmask = jax.lax.broadcasted_iota(jnp.int32, (1, 1, k), 2) < links
+    hmask = ((cand_p >= 0)[:, :, None] & colmask).reshape(w, c * k)
+    hops = jnp.where(hmask, hops, -1)
     hd = metric.gathered(q_pts, points[jnp.clip(hops, 0)])
     hd = jnp.where(hops >= 0, hd, jnp.inf)
 

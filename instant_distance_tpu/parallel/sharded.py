@@ -1,0 +1,222 @@
+"""Mesh-sharded HNSW: one sub-index per device, cross-shard top-k merge.
+
+The reference holds every point in one address space (``points: Vec<P>``,
+lib.rs:196) and parallelizes only across threads.  The TPU-native design
+shards the *point set*: each device of a ``jax.sharding.Mesh`` owns an
+independent HNSW over its partition (so per-shard graphs never need
+cross-device pointer chasing), queries are replicated, every shard runs
+the batched wavefront search locally, and per-shard results merge with an
+``all_gather`` + 2-key sorted top-k over ICI.  Because the union of
+per-shard beams can only contain *more* true neighbors than one global
+beam, sharded recall dominates single-index recall at equal ef.
+
+Construction is also mesh-parallel: all shards insert their waves
+simultaneously (shard_map over the wave step), which is the distributed
+generalization of the reference's rayon insertion fan-out.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import Config, layer_sizes
+from ..ops.beam import hnsw_search
+from ..ops.construct import wave_step_core, _wave_schedule, _bucket
+from ..ops.distance import resolve
+from .mesh import SHARD_AXIS, default_mesh
+
+#: Sentinel coordinate for shard-padding points: far from any real data
+#: but finite, so squared distances stay finite in float32.
+_PAD_COORD = 1e15
+
+
+class ShardedHnsw:
+    """An HNSW index sharded over a device mesh.
+
+    Arrays carry a leading shard axis placed on the mesh:
+      points [S, n_s, D], zero [S, n_s, m0], layers[l] [S, end_l, m],
+      gids [S, n_s] (global original index per local pid; -1 = padding).
+    """
+
+    def __init__(self, points, zero, layers, gids, config: Config,
+                 mesh: Mesh):
+        self.mesh = mesh
+        shard = NamedSharding(mesh, P(SHARD_AXIS))
+        self.points = jax.device_put(jnp.asarray(points, jnp.float32), shard)
+        self.zero = jax.device_put(jnp.asarray(zero, jnp.int32), shard)
+        self.layers = [jax.device_put(jnp.asarray(l, jnp.int32), shard)
+                       for l in layers]
+        self.gids = jax.device_put(jnp.asarray(gids, jnp.int32), shard)
+        self.config = config
+        self._search_fn = None
+
+    @property
+    def n_shards(self) -> int:
+        return int(self.points.shape[0])
+
+    def __len__(self) -> int:
+        return int((np.asarray(self.gids) >= 0).sum())
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def build(cls, points, config: Optional[Config] = None,
+              mesh: Optional[Mesh] = None, progress=None) -> "ShardedHnsw":
+        """Shard the point set over the mesh and build all shard graphs
+        in parallel, one wave step for every shard per device step."""
+        config = config or Config()
+        mesh = mesh or default_mesh()
+        s = mesh.devices.size
+        pts = np.asarray(points, np.float32)
+        n, dim = pts.shape
+        n_s = max(1, -(-n // s))
+
+        rng = np.random.default_rng(config.seed)
+        perm = rng.permutation(n)
+        pad = s * n_s - n
+        gids_flat = np.concatenate(
+            [perm, np.full(pad, -1, np.int64)]).astype(np.int32)
+        pts_flat = np.concatenate(
+            [pts[perm], np.full((pad, dim), _PAD_COORD, np.float32)])
+        shard_pts = pts_flat.reshape(s, n_s, dim)
+        shard_gids = gids_flat.reshape(s, n_s)
+
+        # local shuffle per shard (the reference's layer assignment,
+        # lib.rs:256-270) — same seed => same layer schedule on every
+        # shard, so one wave program drives the whole mesh.
+        lrng = np.random.default_rng(config.seed + 1)
+        keys = lrng.integers(0, n_s, size=n_s)
+        order = np.lexsort((np.arange(n_s), keys))
+        shard_pts = shard_pts[:, order]
+        shard_gids = shard_gids[:, order]
+
+        zero, layers = _build_sharded(shard_pts, config, mesh,
+                                      progress=progress)
+        return cls(shard_pts, zero, layers, shard_gids, config, mesh)
+
+    # ------------------------------------------------------------------
+    def _make_search(self, ef: int, n_layers: int):
+        cfg = self.config
+        metric = resolve(cfg.metric)
+
+        def local(q, zero, pts, gids, *layers):
+            d, p = hnsw_search(
+                q, zero[0], tuple(l[0] for l in layers), pts[0], metric,
+                ef=ef, m=cfg.m, zero_links=cfg.m0,
+                max_iter_factor=cfg.max_iter_factor)
+            g = jnp.where(p >= 0, gids[0][jnp.clip(p, 0)], -1)
+            d = jnp.where(g >= 0, d, jnp.inf)
+            ad = jax.lax.all_gather(d, SHARD_AXIS)        # [S, B, ef]
+            ag = jax.lax.all_gather(g, SHARD_AXIS)
+            b = q.shape[0]
+            cd = ad.transpose(1, 0, 2).reshape(b, -1)
+            cg = ag.transpose(1, 0, 2).reshape(b, -1)
+            sd, sg = jax.lax.sort((cd, cg), dimension=1, num_keys=2)
+            return sd[:, :ef], sg[:, :ef]
+
+        specs = (P(None, None),) + (P(SHARD_AXIS),) * (3 + n_layers)
+        return jax.jit(jax.shard_map(
+            local, mesh=self.mesh, in_specs=specs,
+            out_specs=(P(None, None), P(None, None)), check_vma=False))
+
+    def search_batch(self, queries, k: Optional[int] = None,
+                     ef: Optional[int] = None):
+        """Batched global query -> (dists [B, k], global ids [B, k]).
+
+        Global ids index the *original* input order (the sharded build's
+        analogue of the id remap returned by ``Builder::build_hnsw``).
+        """
+        queries = jnp.asarray(queries, jnp.float32)
+        if queries.ndim == 1:
+            queries = queries[None]
+        ef = ef or self.config.ef_search
+        k = k or ef
+        key = (ef, len(self.layers))
+        if self._search_fn is None or self._search_fn[0] != key:
+            self._search_fn = (key, self._make_search(ef, len(self.layers)))
+        d, g = self._search_fn[1](queries, self.zero, self.points,
+                                  self.gids, *self.layers)
+        return d[:, :k], g[:, :k]
+
+
+# ---------------------------------------------------------------------------
+# mesh-parallel construction
+# ---------------------------------------------------------------------------
+
+def _build_sharded(shard_pts: np.ndarray, config: Config, mesh: Mesh,
+                   progress=None):
+    """Run the wave construction loop with every shard advancing in
+    lockstep: one shard_map'd wave step per wave, all devices busy."""
+    cfg = config
+    s, n_s, dim = shard_pts.shape
+    m, m0 = cfg.m, cfg.m0
+    sizes = layer_sizes(n_s, cfg.ml, m)
+    top = len(sizes) - 1
+    if top > 16:
+        raise ValueError("more than 16 upper layers")
+    ranges = [(top - i, max(c - sz, 1), c)
+              for i, (sz, c) in enumerate(sizes)]
+    cap_rows = max(1, sum(c for (_, c) in sizes[:-1]))
+
+    shard = NamedSharding(mesh, P(SHARD_AXIS))
+    repl = NamedSharding(mesh, P())
+    dev_pts = jax.device_put(jnp.asarray(shard_pts), shard)
+    adj = jax.device_put(jnp.full((s, n_s + 1, m0), -1, jnp.int32), shard)
+    adjd = jax.device_put(
+        jnp.full((s, n_s + 1, m0), jnp.inf, jnp.float32), shard)
+    stacked = jax.device_put(
+        jnp.full((s, cap_rows, m), -1, jnp.int32), shard)
+
+    heur = (None if cfg.heuristic is None else
+            (cfg.heuristic.extend_candidates, cfg.heuristic.keep_pruned))
+
+    core = functools.partial(
+        wave_step_core, metric_name=cfg.metric,
+        efc=cfg.ef_construction, m=m, m0=m0,
+        heuristic=heur, rev_chunk=2048, pend_cap=min(m0, 64),
+        max_iter_factor=cfg.max_iter_factor)
+    vc = jax.vmap(core, in_axes=(0, 0, None, 0, 0, None, None, None))
+    step = jax.jit(jax.shard_map(
+        vc, mesh=mesh,
+        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(None), P(SHARD_AXIS),
+                  P(SHARD_AXIS), P(None), P(), P()),
+        out_specs=(P(SHARD_AXIS), P(SHARD_AXIS)), check_vma=False),
+        donate_argnums=(0, 1))
+
+    offsets = np.zeros(16, np.int32)
+    write_off = 0
+    snap_list = []
+    done = 0
+    total = s * n_s
+    for li, (layer, start, end) in enumerate(ranges):
+        zero_links = m0 if layer == 0 else m
+        for ws, we in _wave_schedule(start, end, cfg.wave_size):
+            w = we - ws
+            wb = _bucket(w, cfg.wave_size)
+            wave = np.full(wb, -1, np.int32)
+            wave[:w] = np.arange(ws, we, dtype=np.int32)
+            adj, adjd = step(adj, adjd,
+                             jax.device_put(jnp.asarray(wave), repl),
+                             dev_pts, stacked,
+                             jax.device_put(jnp.asarray(offsets), repl),
+                             jnp.int32(li), jnp.int32(zero_links))
+            done += w * s
+            if progress is not None:
+                progress(done, total, f"layer {layer}")
+        if layer > 0:
+            snap = adj[:, :end, :m]
+            snap_list.append(snap)
+            stacked = jax.jit(
+                lambda st, sn, off: jax.lax.dynamic_update_slice(
+                    st, sn, (0, off, 0)),
+                static_argnums=2)(stacked, snap, write_off)
+            offsets[li] = write_off
+            write_off += end
+
+    snap_list.reverse()
+    return adj[:, :n_s], snap_list

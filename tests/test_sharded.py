@@ -1,0 +1,57 @@
+"""Sharded index tests on the 8-virtual-device CPU mesh (SURVEY.md §4's
+TPU-native 'fake backend': the reference has no distributed tests)."""
+
+import jax
+import numpy as np
+import pytest
+
+from instant_distance_tpu.config import Config
+from instant_distance_tpu.models.brute import BruteForce
+from instant_distance_tpu.parallel.mesh import default_mesh
+from instant_distance_tpu.parallel.sharded import ShardedHnsw
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest should provide 8 CPU devices"
+    return default_mesh(8)
+
+
+def test_sharded_build_and_recall(mesh):
+    seed = 31
+    rng = np.random.default_rng(seed)
+    pts = rng.random((2048, 8), dtype=np.float32)
+    cfg = Config(seed=seed, ef_search=64)
+    idx = ShardedHnsw.build(pts, cfg, mesh=mesh)
+    assert idx.n_shards == 8
+    assert len(idx) == 2048
+
+    queries = rng.random((16, 8), dtype=np.float32)
+    d, g = idx.search_batch(queries, k=10)
+    d, g = np.asarray(d), np.asarray(g)
+    assert d.shape == (16, 10)
+    # global ids reference original input order
+    assert g.min() >= 0 and g.max() < 2048
+
+    gt_d, gt_i = BruteForce(pts).search_batch(queries, 10)
+    gt_i = np.asarray(gt_i)
+    recall = np.mean([
+        len(set(g[i].tolist()) & set(gt_i[i].tolist())) / 10
+        for i in range(len(queries))])
+    print(f"sharded recall@10 = {recall}")
+    assert recall >= 0.95
+
+    # distances match the metric on original points
+    q0 = queries[0]
+    got = ((q0 - pts[g[0, 0]]) ** 2).sum()
+    np.testing.assert_allclose(d[0, 0], got, rtol=1e-5)
+
+
+def test_sharded_self_query(mesh):
+    rng = np.random.default_rng(33)
+    pts = rng.standard_normal((1000, 16)).astype(np.float32)  # not 8-divisible
+    idx = ShardedHnsw.build(pts, Config(seed=33, ef_search=32), mesh=mesh)
+    assert len(idx) == 1000
+    d, g = idx.search_batch(pts[:24], k=1)
+    assert (np.asarray(g)[:, 0] == np.arange(24)).mean() > 0.95
+    np.testing.assert_allclose(np.asarray(d)[:, 0].max(), 0, atol=1e-5)
