@@ -1,0 +1,124 @@
+"""Headline benchmark: batched TPU search QPS at recall@10 vs host baseline.
+
+Driver contract: prints ONE JSON line
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Config (BASELINE.md): SIFT1M-shaped workload — 128-d points, M=32,
+ef_search=100, recall@10 vs exact ground truth, batched queries.  Real
+SIFT1M is substituted with clustered synthetic data when the fvecs files
+are absent (zero-egress image); set INSTANT_TPU_DATA to use real data.
+
+The baseline is the native C++ engine (this repo's host runtime) built
+with the same hyperparameters and queried with all host cores — the
+stand-in for the Rust reference, which publishes no numbers and cannot be
+compiled in this image (no cargo).  Its per-query algorithm and data
+layout match the reference's design (see native/src/engine.cpp).
+
+Env knobs: INSTANT_TPU_BENCH_N (default 100000), INSTANT_TPU_BENCH_BATCH
+(default 1024), INSTANT_TPU_BENCH_SKIP_BASELINE=1.
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+    import numpy as np
+
+    from instant_distance_tpu.config import Config
+    from instant_distance_tpu.models.brute import BruteForce
+    from instant_distance_tpu.models.hnsw import Hnsw
+    from instant_distance_tpu.utils.datasets import synthetic_clustered
+    from instant_distance_tpu.utils.metrics import (BuildStats, emit,
+                                                    recall_at_k, time_fn)
+
+    n = int(os.environ.get("INSTANT_TPU_BENCH_N", 100_000))
+    batch = int(os.environ.get("INSTANT_TPU_BENCH_BATCH", 1024))
+    dim, ef, k = 128, 100, 10
+    n_queries = 2048
+
+    data = synthetic_clustered(n + n_queries, dim,
+                               n_clusters=max(100, n // 100), seed=3)
+    pts, queries = data[:n], data[n:]
+
+    cfg = Config(seed=3, ef_search=ef, m=32, wave_size=4096)
+
+    stats = BuildStats(log_every=max(10_000, n // 10))
+    t0 = time.time()
+    index, ids = Hnsw.build(pts, cfg, progress=stats)
+    jax.block_until_ready(index.zero)
+    build_s = time.time() - t0
+    print(f"[bench] tpu build {n}x{dim}: {build_s:.1f}s "
+          f"({n / build_s:,.0f} pts/s)", file=sys.stderr)
+
+    # ground truth on device
+    bf = BruteForce(np.asarray(index.points))
+    gt_d, gt_i = bf.search_batch(queries[:n_queries], k)
+    gt_i = np.asarray(gt_i)
+
+    # steady-state batched QPS
+    qbatch = queries[:batch]
+    timing = time_fn(lambda q: index.search_batch(q, k=k), qbatch,
+                     warmup=3, iters=20, sync=jax.block_until_ready)
+    qps = batch / timing.per_call_s
+
+    d, p = index.search_batch(queries[:n_queries], k=k)
+    recall = recall_at_k(np.asarray(p), gt_i, k)
+    print(f"[bench] tpu: {qps:,.0f} qps, recall@10={recall:.4f}",
+          file=sys.stderr)
+
+    # host baseline: native engine, all cores
+    base_qps = None
+    if os.environ.get("INSTANT_TPU_BENCH_SKIP_BASELINE") != "1":
+        try:
+            from instant_distance_tpu.native import NativeHnsw, available
+
+            if available():
+                t0 = time.time()
+                eng = NativeHnsw.build(pts, cfg, n_threads=0)
+                base_build_s = time.time() - t0
+                bt = time_fn(
+                    lambda q: eng.search_batch(q, ef=ef, k=k, n_threads=0),
+                    qbatch, warmup=1, iters=5)
+                base_qps = batch / bt.per_call_s
+                bd, bi = eng.search_batch(queries[:n_queries], ef=ef, k=k)
+                base_recall = recall_at_k(bi, gt_i, k)
+                bt1 = time_fn(
+                    lambda q: eng.search_batch(q, ef=ef, k=k, n_threads=1),
+                    qbatch[:128], warmup=1, iters=3)
+                base_qps_1t = 128 / bt1.per_call_s
+                print(f"[bench] host baseline: {base_qps:,.0f} qps "
+                      f"(all cores), {base_qps_1t:,.0f} qps (1 thread), "
+                      f"recall@10={base_recall:.4f}, "
+                      f"build {base_build_s:.1f}s", file=sys.stderr)
+        except Exception as exc:  # baseline failure must not kill bench
+            print(f"[bench] baseline failed: {exc}", file=sys.stderr)
+
+    emit(
+        metric=f"batched_qps_sift1m_like_n{n}_ef{ef}",
+        value=round(qps, 1),
+        unit="qps",
+        vs_baseline=round(qps / base_qps, 3) if base_qps else None,
+        recall_at_10=round(recall, 4),
+        build_s=round(build_s, 2),
+        batch=batch,
+        n=n,
+        dim=dim,
+        baseline_qps_all_cores=round(base_qps, 1) if base_qps else None,
+        device=str(jax.devices()[0]),
+    )
+
+
+if __name__ == "__main__":
+    main()
