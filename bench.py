@@ -78,30 +78,42 @@ def main() -> None:
     print(f"[bench] tpu: {qps:,.0f} qps, recall@10={recall:.4f}",
           file=sys.stderr)
 
-    # host baseline: native engine, all cores
+    # Host baseline: the native C++ engine searching the SAME graph (lifted
+    # via from_arrays), all host cores.  This is the reference's execution
+    # model — one sequential beam search per query on CPU — measured, not
+    # estimated.  Host build-time baseline is measured on a subset and
+    # scaled (a full single-core 100k host build takes ~17 min).
     base_qps = None
+    base_build_est_s = None
+    n_cores = os.cpu_count() or 1
     if os.environ.get("INSTANT_TPU_BENCH_SKIP_BASELINE") != "1":
         try:
             from instant_distance_tpu.native import NativeHnsw, available
 
             if available():
-                t0 = time.time()
-                eng = NativeHnsw.build(pts, cfg, n_threads=0)
-                base_build_s = time.time() - t0
+                eng = NativeHnsw.from_arrays(
+                    np.asarray(index.points), np.asarray(index.zero),
+                    [np.asarray(l) for l in index.layers],
+                    cfg.metric, cfg.m)
                 bt = time_fn(
                     lambda q: eng.search_batch(q, ef=ef, k=k, n_threads=0),
                     qbatch, warmup=1, iters=5)
                 base_qps = batch / bt.per_call_s
                 bd, bi = eng.search_batch(queries[:n_queries], ef=ef, k=k)
                 base_recall = recall_at_k(bi, gt_i, k)
-                bt1 = time_fn(
-                    lambda q: eng.search_batch(q, ef=ef, k=k, n_threads=1),
-                    qbatch[:128], warmup=1, iters=3)
-                base_qps_1t = 128 / bt1.per_call_s
-                print(f"[bench] host baseline: {base_qps:,.0f} qps "
-                      f"(all cores), {base_qps_1t:,.0f} qps (1 thread), "
-                      f"recall@10={base_recall:.4f}, "
-                      f"build {base_build_s:.1f}s", file=sys.stderr)
+                print(f"[bench] host baseline ({n_cores} cores): "
+                      f"{base_qps:,.0f} qps, recall@10={base_recall:.4f}",
+                      file=sys.stderr)
+                n_sub = min(10_000, n)
+                t0 = time.time()
+                NativeHnsw.build(pts[:n_sub], cfg, n_threads=0)
+                sub_s = time.time() - t0
+                # HNSW build scales ~ n log n
+                base_build_est_s = sub_s * (n / n_sub) * (
+                    np.log(max(n, 2)) / np.log(max(n_sub, 2)))
+                print(f"[bench] host build: {sub_s:.1f}s for {n_sub} "
+                      f"-> est {base_build_est_s:.0f}s for {n}",
+                      file=sys.stderr)
         except Exception as exc:  # baseline failure must not kill bench
             print(f"[bench] baseline failed: {exc}", file=sys.stderr)
 
@@ -115,7 +127,10 @@ def main() -> None:
         batch=batch,
         n=n,
         dim=dim,
-        baseline_qps_all_cores=round(base_qps, 1) if base_qps else None,
+        baseline_qps=round(base_qps, 1) if base_qps else None,
+        baseline_cores=n_cores,
+        baseline_build_est_s=(round(base_build_est_s, 1)
+                              if base_build_est_s else None),
         device=str(jax.devices()[0]),
     )
 

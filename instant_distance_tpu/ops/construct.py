@@ -269,13 +269,21 @@ class BuiltGraph:
         self.config = config
 
 
-def build_graph(points, config: Config, progress=None) -> BuiltGraph:
+def build_graph(points, config: Config, progress=None,
+                checkpoint: Optional[str] = None,
+                checkpoint_every: int = 64) -> BuiltGraph:
     """Build the layered graph with batched insertion waves.
 
     Reproduces the reference's construction schedule (``Hnsw::new``,
     lib.rs:209-345): geometric layer sizing, seeded random shuffle into
     pid order, per-layer insertion ranges (point 0 is the fixed entry and
     never inserted), and post-layer truncated snapshots.
+
+    ``checkpoint``: optional path; wave state (adjacency, distance cache,
+    snapshots, schedule position) is saved there every
+    ``checkpoint_every`` waves and resumed from on restart — the
+    long-build insurance the reference lacks entirely (SURVEY.md §5:
+    "a crash loses everything").
     """
     cfg = config
     metric_name = cfg.metric if isinstance(cfg.metric, str) else cfg.metric
@@ -318,12 +326,41 @@ def build_graph(points, config: Config, progress=None) -> BuiltGraph:
 
     heur = (None if cfg.heuristic is None else
             (cfg.heuristic.extend_candidates, cfg.heuristic.keep_pruned))
+
+    # ---- checkpoint/resume ------------------------------------------------
+    ckpt_key = f"{n}:{pts.shape[1]}:{cfg.seed}:{cfg.ef_construction}:" \
+               f"{m}:{cfg.ml}:{heur}:{cfg.wave_size}"
+    resume_li, resume_s, waves_done = -1, -1, 0
+    if checkpoint is not None:
+        import os
+        if os.path.exists(checkpoint):
+            with np.load(checkpoint, allow_pickle=False) as z:
+                if str(z["key"]) == ckpt_key:
+                    adj = jnp.asarray(z["adj"])
+                    adjd = jnp.asarray(z["adjd"])
+                    stacked = jnp.asarray(z["stacked"])
+                    offsets = z["offsets"].copy()
+                    write_off = int(z["write_off"])
+                    resume_li, resume_s = int(z["li"]), int(z["s"])
+
+    def save_ckpt(li, s):
+        import os
+        tmp = checkpoint + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, key=np.array(ckpt_key), adj=np.asarray(adj),
+                     adjd=np.asarray(adjd), stacked=np.asarray(stacked),
+                     offsets=offsets, write_off=write_off, li=li, s=s)
+        os.replace(tmp, checkpoint)
+
     layers: list = []
     done = 0
     for li, (layer, start, end) in enumerate(ranges):
         n_upper = jnp.int32(li)  # layers completed so far == layers above
         zero_links = m0 if layer == 0 else m
         for s, e in _wave_schedule(start, end, cfg.wave_size):
+            if (li, s) <= (resume_li, resume_s):
+                done += e - s
+                continue  # already inserted in the checkpointed state
             w = e - s
             wb = _bucket(w, cfg.wave_size)
             wave = np.full(wb, -1, np.int32)
@@ -336,15 +373,28 @@ def build_graph(points, config: Config, progress=None) -> BuiltGraph:
                 rev_chunk=2048, pend_cap=min(m0, 64),
                 max_iter_factor=cfg.max_iter_factor)
             done += w
+            waves_done += 1
             if progress is not None:
                 progress(done, n, f"layer {layer}")
+            if checkpoint is not None and waves_done % checkpoint_every == 0:
+                save_ckpt(li, s)
         if layer > 0:
-            snap = adj[:end, :m]
+            # completed-before-checkpoint layers: slice their snapshot out
+            # of the restored stacked buffer; otherwise take it now
+            if li < resume_li:
+                snap = jax.lax.dynamic_slice(
+                    stacked, (int(offsets[li]), 0), (end, m))
+            else:
+                snap = adj[:end, :m]
+                stacked = jax.lax.dynamic_update_slice(
+                    stacked, snap, (write_off, 0))
+                offsets[li] = write_off
+                write_off += end
             layers.append(snap)
-            stacked = jax.lax.dynamic_update_slice(
-                stacked, snap, (write_off, 0))
-            offsets[li] = write_off
-            write_off += end
 
+    if checkpoint is not None:
+        import os
+        if os.path.exists(checkpoint):
+            os.remove(checkpoint)  # build complete
     layers.reverse()  # store as reference does: layers[l-1] = level l
     return BuiltGraph(dev_points, adj[:n], layers, ids, cfg)
