@@ -69,6 +69,12 @@ class Config:
     dtype: str = "float32"
     #: Safety cap on beam-search iterations, as a multiple of ef.
     max_iter_factor: int = 8
+    #: Wavefront width at query time: how many beam entries expand per
+    #: step (1 = the reference's strict best-first order; higher = fewer,
+    #: fatter steps, better TPU throughput, never-lower recall).
+    search_expand: int = 4
+    #: Wavefront width during construction searches.
+    construct_expand: int = 4
 
     def __post_init__(self) -> None:
         if self.seed is None:

@@ -27,12 +27,12 @@ from ..ops.distance import resolve
 
 @functools.partial(jax.jit,
                    static_argnames=("metric_name", "ef", "m", "zero_links",
-                                    "max_iter_factor"))
+                                    "max_iter_factor", "expand"))
 def _search_jit(queries, zero, upper, points, *, metric_name, ef, m,
-                zero_links, max_iter_factor):
+                zero_links, max_iter_factor, expand):
     return hnsw_search(queries, zero, upper, points, resolve(metric_name),
                        ef=ef, m=m, zero_links=zero_links,
-                       max_iter_factor=max_iter_factor)
+                       max_iter_factor=max_iter_factor, expand=expand)
 
 
 @dataclasses.dataclass
@@ -122,12 +122,26 @@ class Hnsw:
     # -- construction ------------------------------------------------------
     @classmethod
     def build(cls, points, config: Optional[Config] = None, *,
-              progress=None) -> tuple["Hnsw", np.ndarray]:
+              progress=None, backend: str = "wave",
+              checkpoint: Optional[str] = None
+              ) -> tuple["Hnsw", np.ndarray]:
         """Build the index; returns (index, ids) where ids maps the
         original point order to PointIds (reference lib.rs:83-85 and the
-        binding's Hnsw.build, py src/lib.rs:110-119)."""
+        binding's Hnsw.build, py src/lib.rs:110-119).
+
+        ``backend``: "wave" = TPU batched insertion waves (default);
+        "native" = the multithreaded C++ host engine (useful when no
+        accelerator is attached; same construction recipe).
+        """
         config = config or Config()
-        g: BuiltGraph = build_graph(points, config, progress=progress)
+        if backend == "native":
+            from ..native import NativeHnsw
+
+            eng = NativeHnsw.build(points, config)
+            pts, ids, zero, layers = eng.to_arrays(config.m)
+            return cls(pts, zero, layers, config), ids
+        g: BuiltGraph = build_graph(points, config, progress=progress,
+                                    checkpoint=checkpoint)
         return cls(g.points, g.zero, g.layers, config), g.ids
 
     # -- queries -----------------------------------------------------------
@@ -138,7 +152,8 @@ class Hnsw:
             metric_name=(cfg.metric if isinstance(cfg.metric, str)
                          else cfg.metric),
             ef=ef, m=cfg.m, zero_links=cfg.m0,
-            max_iter_factor=cfg.max_iter_factor)
+            max_iter_factor=cfg.max_iter_factor,
+            expand=getattr(cfg, "search_expand", 1))
 
     def search_batch(self, queries, k: Optional[int] = None,
                      ef: Optional[int] = None):
@@ -217,16 +232,18 @@ class HnswMap(Hnsw):
 
     @classmethod
     def build(cls, points, values, config: Optional[Config] = None, *,
-              progress=None) -> "HnswMap":
+              progress=None, backend: str = "wave",
+              checkpoint: Optional[str] = None) -> "HnswMap":
         if len(points) != len(values):
             raise ValueError("points and values must have the same length")
         config = config or Config()
-        g = build_graph(points, config, progress=progress)
-        # reorder values into PointId order: ids[src] = pid
+        hnsw, ids = Hnsw.build(points, config, progress=progress,
+                               backend=backend, checkpoint=checkpoint)
+        # reorder values into PointId order (lib.rs:141-152): ids[src]=pid
         reordered = [None] * len(values)
-        for src, pid in enumerate(g.ids):
+        for src, pid in enumerate(ids):
             reordered[pid] = values[src]
-        return cls(g.points, g.zero, g.layers, config, reordered)
+        return cls(hnsw.points, hnsw.zero, hnsw.layers, config, reordered)
 
     def search(self, point, search: Search) -> Iterator[Neighbor]:
         if len(self.points) == 0:

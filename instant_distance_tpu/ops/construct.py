@@ -138,7 +138,7 @@ def _group_reverse_edges(sel_d, sel_p, wave_pids, n: int, pend_cap: int):
 def wave_step_core(adj, adjd, wave_pids, points, stacked, offsets, n_upper,
                    zero_links, *, metric_name, efc: int, m: int, m0: int,
                    heuristic, rev_chunk: int, pend_cap: int,
-                   max_iter_factor: int):
+                   max_iter_factor: int, expand: int = 1):
     """Insert one wave of points: search, select, commit edges.
 
     ``adj``/``adjd`` are [N+1, m0] (row N is the padded-lane write sink).
@@ -161,7 +161,8 @@ def wave_step_core(adj, adjd, wave_pids, points, stacked, offsets, n_upper,
     beam_e = jnp.zeros((w, efc), bool)
     cand_d, cand_p = beam_search_layer(
         q, adj, points, metric, beam_d, beam_p, beam_e,
-        links=zero_links, max_iters=max_iter_factor * efc + 16)
+        links=zero_links, max_iters=max_iter_factor * efc + 16,
+        expand=expand)
 
     # --- forward selection (lib.rs:465-473) -----------------------------
     if heuristic is None:
@@ -231,7 +232,7 @@ def wave_step_core(adj, adjd, wave_pids, points, stacked, offsets, n_upper,
 _wave_step = functools.partial(
     jax.jit,
     static_argnames=("metric_name", "efc", "m", "m0", "heuristic",
-                     "rev_chunk", "pend_cap", "max_iter_factor"),
+                     "rev_chunk", "pend_cap", "max_iter_factor", "expand"),
     donate_argnames=("adj", "adjd"))(wave_step_core)
 
 
@@ -371,7 +372,8 @@ def build_graph(points, config: Config, progress=None,
                 metric_name=metric_name, efc=cfg.ef_construction,
                 m=m, m0=m0, heuristic=heur,
                 rev_chunk=2048, pend_cap=min(m0, 64),
-                max_iter_factor=cfg.max_iter_factor)
+                max_iter_factor=cfg.max_iter_factor,
+                expand=getattr(cfg, "construct_expand", 1))
             done += w
             waves_done += 1
             if progress is not None:

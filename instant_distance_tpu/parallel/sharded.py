@@ -108,7 +108,8 @@ class ShardedHnsw:
             d, p = hnsw_search(
                 q, zero[0], tuple(l[0] for l in layers), pts[0], metric,
                 ef=ef, m=cfg.m, zero_links=cfg.m0,
-                max_iter_factor=cfg.max_iter_factor)
+                max_iter_factor=cfg.max_iter_factor,
+                expand=getattr(cfg, "search_expand", 1))
             g = jnp.where(p >= 0, gids[0][jnp.clip(p, 0)], -1)
             d = jnp.where(g >= 0, d, jnp.inf)
             ad = jax.lax.all_gather(d, SHARD_AXIS)        # [S, B, ef]
@@ -179,7 +180,8 @@ def _build_sharded(shard_pts: np.ndarray, config: Config, mesh: Mesh,
         wave_step_core, metric_name=cfg.metric,
         efc=cfg.ef_construction, m=m, m0=m0,
         heuristic=heur, rev_chunk=2048, pend_cap=min(m0, 64),
-        max_iter_factor=cfg.max_iter_factor)
+        max_iter_factor=cfg.max_iter_factor,
+        expand=getattr(cfg, "construct_expand", 1))
     vc = jax.vmap(core, in_axes=(0, 0, None, 0, 0, None, None, None))
     step = jax.jit(jax.shard_map(
         vc, mesh=mesh,
