@@ -164,6 +164,36 @@ def wave_step_core(adj, adjd, wave_pids, points, stacked, offsets, n_upper,
         links=zero_links, max_iters=max_iter_factor * efc + 16,
         expand=expand)
 
+    # --- intra-wave visibility ------------------------------------------
+    # Sequential insertion lets point j find points i < j of the same
+    # wave through the graph; batched waves search the frozen pre-wave
+    # graph, so same-wave near neighbors (e.g. a tight cluster arriving
+    # together) would be mutually invisible and whole clusters could end
+    # up unreachable.  Restore the sequential-order property by computing
+    # the wave's own pairwise distances (one MXU matmul) and merging each
+    # point's nearest wave peers into its candidate list, where they
+    # compete by distance under the same efc cap as search results.
+    if w > 1:
+        if metric.matmul_form:
+            pw = metric.pairwise(q, q)                         # [W, W]
+        else:
+            pw = metric.gathered(q, jnp.broadcast_to(
+                q[None], (w, w, q.shape[1])))
+        iota_r = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
+        bad = ((iota_r == iota_c) | (wave_pids < 0)[None, :]
+               | (wave_pids < 0)[:, None])
+        pw = jnp.where(bad, jnp.inf, pw)
+        peer_pid = jnp.broadcast_to(wave_pids[None, :], (w, w))
+        spd, spp = jax.lax.sort((pw, peer_pid), dimension=1, num_keys=2)
+        k_peers = min(m0, w)
+        peer_d, peer_p = spd[:, :k_peers], spp[:, :k_peers]
+        peer_p = jnp.where(jnp.isfinite(peer_d), peer_p, -1)
+        cd = jnp.concatenate([cand_d, peer_d], axis=1)
+        cp = jnp.concatenate([cand_p, peer_p], axis=1)
+        cand_d, cand_p = jax.lax.sort((cd, cp), dimension=1, num_keys=2)
+        cand_d, cand_p = cand_d[:, :efc], cand_p[:, :efc]
+
     # --- forward selection (lib.rs:465-473) -----------------------------
     if heuristic is None:
         sel_d, sel_p = sel_ops.select_simple(cand_d, cand_p, m0)
@@ -189,7 +219,6 @@ def wave_step_core(adj, adjd, wave_pids, points, stacked, offsets, n_upper,
     utgt, pend_d, pend_p = _group_reverse_edges(
         sel_d, sel_p, wave_pids, n, pend_cap)
     u = utgt.shape[0]
-    c_rev = min(m0 + pend_cap, max(efc, m0))
 
     def rev_chunk_fn(args):
         ut, pd_, pp_ = args                                # [RC], [RC, A]
@@ -200,10 +229,20 @@ def wave_step_core(adj, adjd, wave_pids, points, stacked, offsets, n_upper,
         comb_d = jnp.concatenate(
             [row_d, jnp.where(pp_ >= 0, pd_, jnp.inf)], axis=1)
         comb_p = jnp.where(jnp.isfinite(comb_d), comb_p, -1)
-        # candidate list sorted by (dist, pid), capped like the
-        # reference's insertion Search at ef_construction (lib.rs:439-441)
+        # Candidate list sorted by (dist, pid).  Unlike the reference's
+        # per-edge re-selection (capped at efc, lib.rs:439-441) the full
+        # row+pending union goes to selection: truncating by distance
+        # here would drop exactly the far "bridge" candidates the Alg. 4
+        # rule exists to keep, orphaning tight clusters.
         cd, cp = jax.lax.sort((comb_d, comb_p), dimension=1, num_keys=2)
-        cd, cp = cd[:, :c_rev], cp[:, :c_rev]
+        # dedup (a wave point may both select and be selected by a peer):
+        # equal pids sort adjacent — invalidate repeats
+        dup = jnp.concatenate(
+            [jnp.zeros((cp.shape[0], 1), bool),
+             (cp[:, 1:] == cp[:, :-1]) & (cp[:, 1:] >= 0)], axis=1)
+        cd = jnp.where(dup, jnp.inf, cd)
+        cp = jnp.where(dup, -1, cp)
+        cd, cp = jax.lax.sort((cd, cp), dimension=1, num_keys=2)
         if heuristic is None:
             return sel_ops.select_simple(cd, cp, m0)
         tq = points[ut_c]
