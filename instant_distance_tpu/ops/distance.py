@@ -95,11 +95,15 @@ class Metric:
         if self.matmul_form:
             qn = jnp.sum(q * q, axis=-1)  # [B]
             pn = jnp.sum(p * p, axis=-1)  # [N]
-            # MXU matmul is the FLOPs hot spot; keep accumulation in f32.
+            # HIGHEST precision: the TPU MXU's default bf16 input rounding
+            # produces |p|^2-scale absolute errors that swamp near-neighbor
+            # distance differences on clustered data (exact-ranking ground
+            # truth and neighbor selection both need full f32).
             cross = jax.lax.dot_general(
                 q, p,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )  # [B, N]
             d2 = qn[:, None] - 2.0 * cross + pn[None, :]
             d2 = jnp.maximum(d2, 0.0)  # clamp catastrophic cancellation
@@ -114,7 +118,8 @@ class Metric:
         if self.matmul_form:
             n = jnp.sum(p * p, axis=-1)  # [B, C]
             cross = jnp.einsum(
-                "bid,bjd->bij", p, p, preferred_element_type=jnp.float32)
+                "bid,bjd->bij", p, p, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
             d2 = jnp.maximum(n[:, :, None] - 2.0 * cross + n[:, None, :], 0.0)
             return jnp.sqrt(d2) if self.name == "euclidean" else d2
         if self._broadcasts:
