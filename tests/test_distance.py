@@ -33,6 +33,26 @@ def test_gathered_and_self_pairwise():
     np.testing.assert_allclose(sp, want, rtol=1e-4, atol=1e-4)
 
 
+def test_pairwise_precision_vs_float64():
+    """Matmul-form distances must resolve intra-cluster differences.
+
+    Regression test for the TPU MXU default-precision bug: bf16 input
+    rounding produced |p|^2-scale errors that corrupted brute-force
+    ground truth on clustered data.  The matmul form must match a float64
+    reference to near-f32 accuracy on whatever backend runs the suite.
+    """
+    rng = np.random.default_rng(5)
+    center = rng.standard_normal(128).astype(np.float32) * 10
+    pts = center + 0.1 * rng.standard_normal((64, 128)).astype(np.float32)
+    q = center + 0.1 * rng.standard_normal((8, 128)).astype(np.float32)
+    m = resolve("sqeuclidean")
+    got = np.asarray(m.pairwise(jnp.asarray(q), jnp.asarray(pts)))
+    want = ((q[:, None, :].astype(np.float64)
+             - pts[None, :, :].astype(np.float64)) ** 2).sum(-1)
+    # intra-cluster d^2 ~ 2.5; errors must be far below the ~0.1 spacing
+    np.testing.assert_allclose(got, want, atol=5e-3)
+
+
 def test_custom_metric_callable():
     def manhattan(a, b):
         return jnp.sum(jnp.abs(a - b), axis=-1)
