@@ -14,7 +14,8 @@ stand-in for the Rust reference, which publishes no numbers and cannot be
 compiled in this image (no cargo).  Its per-query algorithm and data
 layout match the reference's design (see native/src/engine.cpp).
 
-Env knobs: INSTANT_TPU_BENCH_N (default 100000), INSTANT_TPU_BENCH_BATCH
+Env knobs: INSTANT_TPU_BENCH_N (default 1000000), INSTANT_TPU_BENCH_EF
+(default 50; recall@10 = 0.978 at that point), INSTANT_TPU_BENCH_BATCH
 (default 1024), INSTANT_TPU_BENCH_SKIP_BASELINE=1.
 """
 
@@ -43,9 +44,9 @@ def main() -> None:
     from instant_distance_tpu.utils.metrics import (BuildStats, emit,
                                                     recall_at_k, time_fn)
 
-    n = int(os.environ.get("INSTANT_TPU_BENCH_N", 100_000))
+    n = int(os.environ.get("INSTANT_TPU_BENCH_N", 1_000_000))
     batch = int(os.environ.get("INSTANT_TPU_BENCH_BATCH", 1024))
-    dim, ef, k = 128, 100, 10
+    dim, ef, k = 128, int(os.environ.get("INSTANT_TPU_BENCH_EF", 50)), 10
     n_queries = 2048
 
     data = synthetic_clustered(n + n_queries, dim,
