@@ -33,10 +33,13 @@ def _search_jit(queries, points, *, k, metric_name, chunk):
         d = metric.pairwise(queries, block)  # [B, chunk]
         ids = i * chunk + jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
         d = jnp.where(ids < n, d, jnp.inf)
-        cat_d = jnp.concatenate([best_d, d], axis=1)
-        cat_i = jnp.concatenate([best_i, ids], axis=1)
-        # Sort by (distance, id) to match the reference's Candidate ordering
-        # (types.rs:229-234): ties broken by point id.
+        # per-chunk top-k (cheap) then a tiny 2k-wide 2-key merge sort by
+        # (distance, id) — the reference's Candidate ordering
+        # (types.rs:229-234)
+        nd, nidx = jax.lax.top_k(-d, k)
+        ni = jnp.take_along_axis(ids, nidx, axis=1)
+        cat_d = jnp.concatenate([best_d, -nd], axis=1)
+        cat_i = jnp.concatenate([best_i, ni], axis=1)
         sd, si = jax.lax.sort((cat_d, cat_i), dimension=1, num_keys=2)
         return (sd[:, :k], si[:, :k]), None
 
