@@ -1,0 +1,85 @@
+"""PackedHnsw: a serving-optimized compiled form of a built index.
+
+``PackedHnsw.from_index(hnsw)`` inlines int8-quantized neighbor vectors
+into every adjacency row (see ops/packed.py for the rationale and layout)
+and serves batched queries with approximate traversal + exact rerank.
+The logical graph is unchanged — this is a storage/execution transform,
+the analogue of exporting a model to a serving format.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..ops import packed as pk
+from ..ops.distance import resolve
+from .hnsw import Hnsw
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "metric_name", "ef", "k", "max_iter_factor", "expand", "rerank",
+    "n_upper"))
+def _packed_search_jit(queries, points, zero_pack, upper_flat, *,
+                       metric_name, ef, k, max_iter_factor, expand,
+                       rerank, n_upper):
+    upper_packs = tuple(tuple(upper_flat[3 * i:3 * i + 3])
+                        for i in range(n_upper))
+    return pk.packed_search(
+        queries, zero_pack, upper_packs, points, resolve(metric_name),
+        ef=ef, k=k, max_iter_factor=max_iter_factor, expand=expand,
+        rerank=rerank)
+
+
+class PackedHnsw:
+    """Inline-quantized serving index (search only, immutable)."""
+
+    def __init__(self, points, zero_pack, upper_packs, config: Config):
+        self.points = points
+        self.zero_pack = zero_pack      # (ids [N,K], codes [N,K,D], s [N,K])
+        self.upper_packs = upper_packs  # top first
+        self.config = config
+
+    @classmethod
+    def from_index(cls, index: Hnsw) -> "PackedHnsw":
+        codes, scales = pk.quantize_points(index.points)
+        zc, zs = pk.pack_layer(index.zero, codes, scales)
+        zero_pack = (index.zero, zc, zs)
+        uppers = []
+        for layer in reversed(index.layers):  # top first
+            lc, ls = pk.pack_layer(layer, codes, scales)
+            uppers.append((layer, lc, ls))
+        return cls(index.points, zero_pack, tuple(uppers), index.config)
+
+    @classmethod
+    def build(cls, points, config: Optional[Config] = None,
+              **kw) -> "PackedHnsw":
+        index, _ = Hnsw.build(points, config, **kw)
+        return cls.from_index(index)
+
+    def nbytes(self) -> int:
+        total = 0
+        for arrs in (self.zero_pack, *self.upper_packs):
+            total += sum(a.size * a.dtype.itemsize for a in arrs)
+        return total + self.points.size * self.points.dtype.itemsize
+
+    def search_batch(self, queries, k: Optional[int] = None,
+                     ef: Optional[int] = None, rerank: bool = True):
+        cfg = self.config
+        queries = jnp.asarray(queries, jnp.float32)
+        if queries.ndim == 1:
+            queries = queries[None]
+        ef = ef or cfg.ef_search
+        k = k or min(10, ef)
+        upper_flat = tuple(a for pack in self.upper_packs for a in pack)
+        return _packed_search_jit(
+            queries, self.points, tuple(self.zero_pack), upper_flat,
+            metric_name=(cfg.metric if isinstance(cfg.metric, str)
+                         else cfg.metric),
+            ef=ef, k=min(k, ef), max_iter_factor=cfg.max_iter_factor,
+            expand=getattr(cfg, "search_expand", 4), rerank=rerank,
+            n_upper=len(self.upper_packs))

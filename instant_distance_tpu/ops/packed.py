@@ -1,0 +1,170 @@
+"""Packed (inline-quantized) traversal — the serving-optimized hot path.
+
+Microbenchmarks (docs/performance.md) show the classic HNSW traversal on
+TPU is bound by the row-gather issue rate (~11 ns/row regardless of row
+bytes): every expansion costs K scattered point-row fetches.  The packed
+layout inverts that: each node's row carries its neighbors' *int8-quantized
+vectors inline* —
+
+    codes [N, K, D] int8,  scales [N, K] f32,  ids [N, K] int32
+
+— so one expansion is ONE fat sequential row read + a VPU dequant-distance
+over all K neighbors, instead of K scattered reads.  Traversal runs on
+approximate distances; the final beam is reranked with exact f32 distances
+(one gather of ef rows per query).  This is the TPU analogue of the
+inline-PQ trick in GPU/SSD graph-ANN systems (CAGRA / DiskANN), with
+per-point symmetric int8 instead of PQ because TPU has no fast per-byte
+LUT gather but a very wide VPU.
+
+Memory cost: K * D bytes per node (e.g. SIFT1M at K=64: ~8 GB), i.e. a
+serving-time speed/space tradeoff on top of the exact index.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .distance import Metric
+
+_I32MAX = jnp.iinfo(jnp.int32).max
+
+
+def quantize_points(points):
+    """Per-point symmetric int8: v ~= scale * code (max-abs scaling)."""
+    amax = jnp.max(jnp.abs(points), axis=-1)
+    scale = jnp.maximum(amax, 1e-30) / 127.0
+    codes = jnp.clip(jnp.round(points / scale[..., None]), -127, 127)
+    return codes.astype(jnp.int8), scale.astype(jnp.float32)
+
+
+def pack_layer(adj, codes, scales):
+    """Inline a layer's neighbor vectors: adj [R, K] -> (codes [R, K, D],
+    scales [R, K]); invalid slots get zero vectors (masked at search)."""
+    safe = jnp.clip(adj, 0)
+    c = codes[safe]
+    s = jnp.where(adj >= 0, scales[safe], 0.0)
+    return c, s
+
+
+def _approx_dists(q, codes, scales):
+    """[B, D] x ([B, C, D] int8, [B, C]) -> [B, C] squared L2 to the
+    dequantized vectors (f32 on the VPU)."""
+    deq = codes.astype(jnp.float32) * scales[..., None]
+    diff = q[:, None, :] - deq
+    return jnp.sum(diff * diff, axis=-1)
+
+
+def greedy_descent_packed(queries, ids, codes, scales, cur_d, cur_p,
+                          max_iters: int = 512):
+    """ef=1 greedy descent over a packed layer (approx distances)."""
+    b = queries.shape[0]
+
+    def cond(state):
+        it, _, _, done = state
+        return (it < max_iters) & ~jnp.all(done)
+
+    def body(state):
+        it, cd, cp, done = state
+        safe = jnp.clip(cp, 0)
+        nb = ids[safe]                                      # [B, K]
+        nd = _approx_dists(queries, codes[safe], scales[safe])
+        nvalid = (nb >= 0) & ~done[:, None]
+        nd = jnp.where(nvalid, nd, jnp.inf)
+        md = jnp.min(nd, axis=1)
+        mp = jnp.min(jnp.where(nd == md[:, None], nb, _I32MAX), axis=1)
+        better = (md < cd) | ((md == cd) & (mp < cp))
+        step = better & ~done
+        return (it + 1, jnp.where(step, md, cd),
+                jnp.where(step, mp, cp), done | ~better)
+
+    _, cd, cp, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), cur_d, cur_p, jnp.zeros(b, bool)))
+    return cd, cp
+
+
+def beam_search_packed(queries, ids, codes, scales,
+                       beam_d, beam_p, beam_e, max_iters: int,
+                       expand: int = 1):
+    """Packed-layer beam search: same wavefront semantics as
+    ops.beam.beam_search_layer, with inline approx distances."""
+    b, ef = beam_p.shape
+    k = ids.shape[1]
+    e_n = max(1, min(expand, ef))
+    slot = jax.lax.broadcasted_iota(jnp.int32, (b, ef), 1)
+    rows_b = jnp.arange(b)[:, None]
+    ek = e_n * k
+    tril = jnp.tril(jnp.ones((ek, ek), bool), k=-1)
+
+    def expandable(bp, be):
+        return (bp >= 0) & ~be
+
+    def cond(state):
+        it, _, bp, be = state
+        return (it < max_iters) & jnp.any(expandable(bp, be))
+
+    def body(state):
+        it, bd, bp, be = state
+        exp = expandable(bp, be)
+        rank = jnp.cumsum(exp, axis=1) - 1
+        chosen = exp & (rank < e_n)
+        sel = jnp.full((b, e_n), -1, jnp.int32).at[
+            rows_b, jnp.where(chosen, rank, e_n)].set(slot, mode="drop")
+        cur = jnp.where(sel >= 0,
+                        jnp.take_along_axis(bp, jnp.clip(sel, 0), 1), -1)
+        be = be | chosen
+        safe = jnp.clip(cur, 0)                             # [B, E]
+        nb = ids[safe]                                      # [B, E, K]
+        nd = jax.vmap(_approx_dists, in_axes=(None, 1, 1), out_axes=1)(
+            queries, codes[safe], scales[safe])             # [B, E, K]
+        nvalid = (nb >= 0) & (cur >= 0)[:, :, None]
+        nb = jnp.where(nvalid, nb, -1).reshape(b, ek)
+        nd = jnp.where(nvalid, nd, jnp.inf).reshape(b, ek)
+        dup = jnp.any(
+            (nb[:, :, None] == bp[:, None, :]) & (bp >= 0)[:, None, :],
+            axis=2)
+        dup |= jnp.any((nb[:, :, None] == nb[:, None, :]) & tril, axis=2)
+        nd = jnp.where(dup, jnp.inf, nd)
+        nb = jnp.where(dup, -1, nb)
+        cd = jnp.concatenate([bd, nd], axis=1)
+        cp = jnp.concatenate([bp, nb], axis=1)
+        ce = jnp.concatenate(
+            [be, jnp.zeros_like(nd, bool)], axis=1).astype(jnp.int32)
+        fd, fp, fe = jax.lax.sort((cd, cp, ce), dimension=1, num_keys=2)
+        return (it + 1, fd[:, :ef], fp[:, :ef], fe[:, :ef].astype(bool))
+
+    _, bd, bp, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), beam_d, beam_p, beam_e))
+    return bd, bp
+
+
+def packed_search(queries, zero_pack, upper_packs, points, metric: Metric,
+                  ef: int, k: int, max_iter_factor: int = 8,
+                  expand: int = 4, rerank: bool = True):
+    """Full packed query: approx descent + approx beam + exact rerank.
+
+    ``zero_pack``/``upper_packs``: (ids, codes, scales) tuples (uppers
+    ordered top first).  ``points`` are the exact f32 vectors used only
+    for the final rerank (ef rows per query).
+    Returns (dists [B, k], pids [B, k]) with exact distances.
+    """
+    b = queries.shape[0]
+    d0 = metric.gathered(queries, points[jnp.zeros((b, 1), jnp.int32)])[:, 0]
+    cur_d, cur_p = d0, jnp.zeros(b, jnp.int32)
+    for (uids, ucodes, uscales) in upper_packs:
+        cur_d, cur_p = greedy_descent_packed(
+            queries, uids, ucodes, uscales, cur_d, cur_p)
+    zids, zcodes, zscales = zero_pack
+    beam_d = jnp.full((b, ef), jnp.inf, jnp.float32).at[:, 0].set(cur_d)
+    beam_p = jnp.full((b, ef), -1, jnp.int32).at[:, 0].set(cur_p)
+    beam_e = jnp.zeros((b, ef), bool)
+    bd, bp = beam_search_packed(
+        queries, zids, zcodes, zscales, beam_d, beam_p, beam_e,
+        max_iters=max_iter_factor * ef + 16, expand=expand)
+    if not rerank:
+        return bd[:, :k], bp[:, :k]
+    # exact rerank of the final beam (the only exact-point gather)
+    exact = metric.gathered(queries, points[jnp.clip(bp, 0)])
+    exact = jnp.where(bp >= 0, exact, jnp.inf)
+    sd, sp = jax.lax.sort((exact, bp), dimension=1, num_keys=2)
+    return sd[:, :k], sp[:, :k]
