@@ -21,6 +21,9 @@ __all__ = [
     "Search",
     "Neighbor",
     "BruteForce",
+    "PackedHnsw",
+    "ShardedHnsw",
+    "ReplicatedHnsw",
     "DEFAULT_M",
     "INVALID",
 ]
@@ -37,4 +40,16 @@ def __getattr__(name):
         from .models.brute import BruteForce
 
         return BruteForce
+    if name == "PackedHnsw":
+        from .models.packed import PackedHnsw
+
+        return PackedHnsw
+    if name == "ShardedHnsw":
+        from .parallel.sharded import ShardedHnsw
+
+        return ShardedHnsw
+    if name == "ReplicatedHnsw":
+        from .parallel.replicated import ReplicatedHnsw
+
+        return ReplicatedHnsw
     raise AttributeError(name)

@@ -45,14 +45,18 @@ class PackedHnsw:
         self.config = config
 
     @classmethod
-    def from_index(cls, index: Hnsw) -> "PackedHnsw":
+    def from_index(cls, index: Hnsw, pack_links: int = 0) -> "PackedHnsw":
+        """Compile a built index into the packed serving form.
+
+        ``pack_links`` truncates each zero row to its first N (selection
+        -ordered) neighbors, trading recall for memory/throughput;
+        0 keeps the full M*2 row (SIFT1M at full width is ~11 GB)."""
         codes, scales = pk.quantize_points(index.points)
-        zc, zs = pk.pack_layer(index.zero, codes, scales)
-        zero_pack = (index.zero, zc, zs)
+        zero_pack = pk.pack_layer(index.zero, codes, scales,
+                                  links=pack_links)
         uppers = []
         for layer in reversed(index.layers):  # top first
-            lc, ls = pk.pack_layer(layer, codes, scales)
-            uppers.append((layer, lc, ls))
+            uppers.append(pk.pack_layer(layer, codes, scales))
         return cls(index.points, zero_pack, tuple(uppers), index.config)
 
     @classmethod

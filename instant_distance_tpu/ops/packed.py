@@ -38,13 +38,38 @@ def quantize_points(points):
     return codes.astype(jnp.int8), scale.astype(jnp.float32)
 
 
-def pack_layer(adj, codes, scales):
+def pack_layer(adj, codes, scales, links: int = 0, chunk: int = 65536):
     """Inline a layer's neighbor vectors: adj [R, K] -> (codes [R, K, D],
-    scales [R, K]); invalid slots get zero vectors (masked at search)."""
-    safe = jnp.clip(adj, 0)
-    c = codes[safe]
-    s = jnp.where(adj >= 0, scales[safe], 0.0)
-    return c, s
+    scales [R, K]); invalid slots get zero vectors (masked at search).
+
+    ``links`` > 0 packs only the first ``links`` neighbors per row —
+    selection order puts the Alg.4-kept (diverse, nearest) neighbors
+    first, so this is the same truncation the reference applies to upper
+    layers (UpperNode::from_zero).  Halving links halves the packed
+    bytes and traversal cost at a small recall cost.
+    The gather runs in row chunks to bound transient HBM.
+    """
+    if links and links < adj.shape[1]:
+        adj = adj[:, :links]
+    r = adj.shape[0]
+    n_chunks = max(1, (r + chunk - 1) // chunk)
+    pad = n_chunks * chunk - r
+    adj_p = jnp.pad(adj, ((0, pad), (0, 0)), constant_values=-1)
+
+    @jax.jit
+    def pack(adj_p):
+        def one(rows):
+            safe = jnp.clip(rows, 0)
+            c = codes[safe]
+            s = jnp.where(rows >= 0, scales[safe], 0.0)
+            return c, s
+
+        return jax.lax.map(one, adj_p.reshape(n_chunks, chunk, -1))
+
+    c, s = pack(adj_p)
+    k = adj.shape[1]
+    return (adj, c.reshape(-1, k, codes.shape[1])[:r],
+            s.reshape(-1, k)[:r])
 
 
 def _approx_dists(q, codes, scales):
