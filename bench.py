@@ -76,8 +76,30 @@ def main() -> None:
 
     d, p = index.search_batch(queries[:n_queries], k=k)
     recall = recall_at_k(np.asarray(p), gt_i, k)
-    print(f"[bench] tpu: {qps:,.0f} qps, recall@10={recall:.4f}",
+    print(f"[bench] tpu exact: {qps:,.0f} qps, recall@10={recall:.4f}",
           file=sys.stderr)
+
+    # Packed serving index (inline int8 neighbors): the headline path.
+    packed_qps = packed_recall = None
+    if os.environ.get("INSTANT_TPU_BENCH_MODE", "packed") == "packed":
+        try:
+            from instant_distance_tpu.models.packed import PackedHnsw
+
+            t0 = time.time()
+            packed = PackedHnsw.from_index(index, pack_links=32)
+            jax.block_until_ready(packed.zero_pack[1])
+            pack_s = time.time() - t0
+            pt = time_fn(lambda q: packed.search_batch(q, k=k, ef=ef),
+                         qbatch, warmup=3, iters=20,
+                         sync=jax.block_until_ready)
+            packed_qps = batch / pt.per_call_s
+            pd, pp = packed.search_batch(queries[:n_queries], k=k, ef=ef)
+            packed_recall = recall_at_k(np.asarray(pp), gt_i, k)
+            print(f"[bench] tpu packed: {packed_qps:,.0f} qps, "
+                  f"recall@10={packed_recall:.4f} (pack {pack_s:.0f}s, "
+                  f"{packed.nbytes() / 1e9:.1f} GB)", file=sys.stderr)
+        except Exception as exc:
+            print(f"[bench] packed path failed: {exc}", file=sys.stderr)
 
     # Host baseline: the native C++ engine searching the SAME graph (lifted
     # via from_arrays), all host cores.  This is the reference's execution
@@ -118,16 +140,20 @@ def main() -> None:
         except Exception as exc:  # baseline failure must not kill bench
             print(f"[bench] baseline failed: {exc}", file=sys.stderr)
 
+    best_qps = packed_qps if packed_qps else qps
+    best_recall = packed_recall if packed_qps else recall
     emit(
         metric=f"batched_qps_sift1m_like_n{n}_ef{ef}",
-        value=round(qps, 1),
+        value=round(best_qps, 1),
         unit="qps",
-        vs_baseline=round(qps / base_qps, 3) if base_qps else None,
-        recall_at_10=round(recall, 4),
+        vs_baseline=round(best_qps / base_qps, 3) if base_qps else None,
+        recall_at_10=round(best_recall, 4),
         build_s=round(build_s, 2),
         batch=batch,
         n=n,
         dim=dim,
+        exact_qps=round(qps, 1),
+        exact_recall_at_10=round(recall, 4),
         baseline_qps=round(base_qps, 1) if base_qps else None,
         baseline_cores=n_cores,
         baseline_build_est_s=(round(base_build_est_s, 1)

@@ -38,7 +38,7 @@ def quantize_points(points):
     return codes.astype(jnp.int8), scale.astype(jnp.float32)
 
 
-def pack_layer(adj, codes, scales, links: int = 0, chunk: int = 65536):
+def pack_layer(adj, codes, scales, links: int = 0, chunk: int = 1 << 20):
     """Inline a layer's neighbor vectors: adj [R, K] -> (codes [R, K, D],
     scales [R, K]); invalid slots get zero vectors (masked at search).
 
@@ -47,7 +47,9 @@ def pack_layer(adj, codes, scales, links: int = 0, chunk: int = 65536):
     first, so this is the same truncation the reference applies to upper
     layers (UpperNode::from_zero).  Halving links halves the packed
     bytes and traversal cost at a small recall cost.
-    The gather runs in row chunks to bound transient HBM.
+    ``chunk`` bounds transient HBM for very large layers (the default
+    packs <=1M-row layers in a single pass; chunking costs extra
+    compiles, so only lower it when memory requires).
     """
     if links and links < adj.shape[1]:
         adj = adj[:, :links]
