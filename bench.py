@@ -79,28 +79,6 @@ def main() -> None:
     print(f"[bench] tpu exact: {qps:,.0f} qps, recall@10={recall:.4f}",
           file=sys.stderr)
 
-    # Packed serving index (inline int8 neighbors): the headline path.
-    packed_qps = packed_recall = None
-    if os.environ.get("INSTANT_TPU_BENCH_MODE", "packed") == "packed":
-        try:
-            from instant_distance_tpu.models.packed import PackedHnsw
-
-            t0 = time.time()
-            packed = PackedHnsw.from_index(index, pack_links=32)
-            jax.block_until_ready(packed.zero_pack[1])
-            pack_s = time.time() - t0
-            pt = time_fn(lambda q: packed.search_batch(q, k=k, ef=ef),
-                         qbatch, warmup=3, iters=20,
-                         sync=jax.block_until_ready)
-            packed_qps = batch / pt.per_call_s
-            pd, pp = packed.search_batch(queries[:n_queries], k=k, ef=ef)
-            packed_recall = recall_at_k(np.asarray(pp), gt_i, k)
-            print(f"[bench] tpu packed: {packed_qps:,.0f} qps, "
-                  f"recall@10={packed_recall:.4f} (pack {pack_s:.0f}s, "
-                  f"{packed.nbytes() / 1e9:.1f} GB)", file=sys.stderr)
-        except Exception as exc:
-            print(f"[bench] packed path failed: {exc}", file=sys.stderr)
-
     # Host baseline: the native C++ engine searching the SAME graph (lifted
     # via from_arrays), all host cores.  This is the reference's execution
     # model — one sequential beam search per query on CPU — measured, not
@@ -139,6 +117,31 @@ def main() -> None:
                       file=sys.stderr)
         except Exception as exc:  # baseline failure must not kill bench
             print(f"[bench] baseline failed: {exc}", file=sys.stderr)
+
+    # Packed serving index (inline int8 neighbors): the headline path.
+    packed_qps = packed_recall = None
+    del bf
+    import gc; gc.collect()
+    if os.environ.get("INSTANT_TPU_BENCH_MODE", "packed") == "packed":
+        try:
+            from instant_distance_tpu.models.packed import PackedHnsw
+
+            t0 = time.time()
+            packed = PackedHnsw.from_index(index, pack_links=32)
+            jax.block_until_ready(packed.zero_pack[1])
+            pack_s = time.time() - t0
+            pt = time_fn(lambda q: packed.search_batch(q, k=k, ef=ef),
+                         qbatch, warmup=3, iters=20,
+                         sync=jax.block_until_ready)
+            packed_qps = batch / pt.per_call_s
+            pd, pp = packed.search_batch(queries[:n_queries], k=k, ef=ef)
+            packed_recall = recall_at_k(np.asarray(pp), gt_i, k)
+            print(f"[bench] tpu packed: {packed_qps:,.0f} qps, "
+                  f"recall@10={packed_recall:.4f} (pack {pack_s:.0f}s, "
+                  f"{packed.nbytes() / 1e9:.1f} GB)", file=sys.stderr)
+        except Exception as exc:
+            print(f"[bench] packed path failed: {exc}", file=sys.stderr)
+
 
     best_qps = packed_qps if packed_qps else qps
     best_recall = packed_recall if packed_qps else recall

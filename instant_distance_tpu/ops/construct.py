@@ -32,7 +32,6 @@ offsets, and wave sizes are bucketed to powers of two.
 from __future__ import annotations
 
 import functools
-import math
 from typing import Optional
 
 import jax
