@@ -38,7 +38,20 @@ def quantize_points(points):
     return codes.astype(jnp.int8), scale.astype(jnp.float32)
 
 
-def pack_layer(adj, codes, scales, links: int = 0, chunk: int = 1 << 20):
+import functools
+
+
+@functools.partial(jax.jit, donate_argnames=("out_c", "out_s"))
+def _pack_chunk(out_c, out_s, rows, codes, scales, off):
+    safe = jnp.clip(rows, 0)
+    c = codes[safe]
+    s = jnp.where(rows >= 0, scales[safe], 0.0)
+    out_c = jax.lax.dynamic_update_slice(out_c, c, (off, 0, 0))
+    out_s = jax.lax.dynamic_update_slice(out_s, s, (off, 0))
+    return out_c, out_s
+
+
+def pack_layer(adj, codes, scales, links: int = 0, chunk: int = 1 << 18):
     """Inline a layer's neighbor vectors: adj [R, K] -> (codes [R, K, D],
     scales [R, K]); invalid slots get zero vectors (masked at search).
 
@@ -47,31 +60,32 @@ def pack_layer(adj, codes, scales, links: int = 0, chunk: int = 1 << 20):
     first, so this is the same truncation the reference applies to upper
     layers (UpperNode::from_zero).  Halving links halves the packed
     bytes and traversal cost at a small recall cost.
-    ``chunk`` bounds transient HBM for very large layers (the default
-    packs <=1M-row layers in a single pass; chunking costs extra
-    compiles, so only lower it when memory requires).
+
+    Packing streams fixed-size row chunks through ONE compiled program
+    (donated in-place output), so peak transient HBM is one chunk and
+    every layer of every index reuses the same executable.
     """
     if links and links < adj.shape[1]:
         adj = adj[:, :links]
-    r = adj.shape[0]
-    n_chunks = max(1, (r + chunk - 1) // chunk)
+    r, k = adj.shape
+    d = codes.shape[1]
+    # power-of-two chunk buckets: few compiled programs, bounded padding
+    b = 1
+    while b < r and b < chunk:
+        b *= 2
+    chunk = b
+    n_chunks = (r + chunk - 1) // chunk
     pad = n_chunks * chunk - r
     adj_p = jnp.pad(adj, ((0, pad), (0, 0)), constant_values=-1)
-
-    @jax.jit
-    def pack(adj_p):
-        def one(rows):
-            safe = jnp.clip(rows, 0)
-            c = codes[safe]
-            s = jnp.where(rows >= 0, scales[safe], 0.0)
-            return c, s
-
-        return jax.lax.map(one, adj_p.reshape(n_chunks, chunk, -1))
-
-    c, s = pack(adj_p)
-    k = adj.shape[1]
-    return (adj, c.reshape(-1, k, codes.shape[1])[:r],
-            s.reshape(-1, k)[:r])
+    out_c = jnp.zeros((r + pad, k, d), jnp.int8)
+    out_s = jnp.zeros((r + pad, k), jnp.float32)
+    for i in range(n_chunks):
+        rows = jax.lax.dynamic_slice_in_dim(adj_p, i * chunk, chunk)
+        out_c, out_s = _pack_chunk(out_c, out_s, rows, codes, scales,
+                                   jnp.int32(i * chunk))
+    if pad:
+        out_c, out_s = out_c[:r], out_s[:r]
+    return adj, out_c, out_s
 
 
 def _approx_dists(q, codes, scales):
