@@ -90,3 +90,73 @@ class ReplicatedHnsw:
 
             return np.asarray(d)[:b, :k], np.asarray(p)[:b, :k]
         return d[:, :k], p[:, :k]
+
+
+class ReplicatedPackedHnsw:
+    """Query-DP serving over a packed (inline-int8) index: the highest
+    single-pod throughput mode — packed traversal per device, batch
+    sharded, zero cross-device traffic."""
+
+    def __init__(self, packed, mesh: Optional[Mesh] = None):
+        from ..models.packed import PackedHnsw  # noqa: F401
+
+        self.mesh = mesh or default_mesh()
+        self.config = packed.config
+        repl = NamedSharding(self.mesh, P())
+        put = lambda t: tuple(jax.device_put(a, repl) for a in t)
+        self.points = jax.device_put(packed.points, repl)
+        self.zero_pack = put(packed.zero_pack)
+        self.upper_packs = tuple(put(u) for u in packed.upper_packs)
+        self._fns = {}
+
+    def search_batch(self, queries, k: Optional[int] = None,
+                     ef: Optional[int] = None):
+        from ..ops.packed import packed_search
+        from ..ops.distance import resolve
+
+        cfg = self.config
+        queries = jnp.asarray(queries, jnp.float32)
+        if queries.ndim == 1:
+            queries = queries[None]
+        n_dev = self.mesh.devices.size
+        b = queries.shape[0]
+        pad = (-b) % n_dev
+        if pad:
+            queries = jnp.concatenate(
+                [queries, jnp.broadcast_to(queries[:1],
+                                           (pad, queries.shape[1]))])
+        ef = ef or cfg.ef_search
+        k = k or min(10, ef)
+        key = (ef, k)
+        if key not in self._fns:
+            metric = resolve(cfg.metric)
+            n_upper = len(self.upper_packs)
+
+            def local(q, points, *packs):
+                zero_pack = tuple(packs[:3])
+                uppers = tuple(tuple(packs[3 + 3 * i:6 + 3 * i])
+                               for i in range(n_upper))
+                return packed_search(
+                    q, zero_pack, uppers, points, metric, ef=ef,
+                    k=min(k, ef),
+                    max_iter_factor=cfg.max_iter_factor,
+                    expand=getattr(cfg, "search_expand", 4))
+
+            n_args = 1 + 3 + 3 * n_upper
+            fn = jax.jit(jax.shard_map(
+                local, mesh=self.mesh,
+                in_specs=(P(SHARD_AXIS, None),) + (P(),) * n_args,
+                out_specs=(P(SHARD_AXIS, None), P(SHARD_AXIS, None)),
+                check_vma=False))
+            self._fns[key] = fn
+        fn = self._fns[key]
+        qsh = NamedSharding(self.mesh, P(SHARD_AXIS, None))
+        queries = jax.device_put(queries, qsh)
+        flat = (*self.zero_pack,
+                *(a for pack in self.upper_packs for a in pack))
+        d, p = fn(queries, self.points, *flat)
+        if pad:
+            import numpy as np
+
+            return np.asarray(d)[:b], np.asarray(p)[:b]
+        return d, p
