@@ -144,6 +144,109 @@ class ShardedHnsw:
                                   self.gids, *self.layers)
         return d[:, :k], g[:, :k]
 
+    def pack(self, pack_links: int = 32) -> "ShardedPackedHnsw":
+        """Compile every shard into the inline-int8 serving form
+        (see models/packed.py) — the DEEP10M-scale configuration:
+        packed traversal per shard, exact rerank, cross-shard merge."""
+        return ShardedPackedHnsw.from_sharded(self, pack_links=pack_links)
+
+
+class ShardedPackedHnsw:
+    """Mesh-sharded packed serving index."""
+
+    def __init__(self, points, gids, zero_pack, upper_packs,
+                 config: Config, mesh: Mesh):
+        self.mesh = mesh
+        self.points = points          # [S, n_s, D]
+        self.gids = gids              # [S, n_s]
+        self.zero_pack = zero_pack    # (ids, codes, scales), each [S, ...]
+        self.upper_packs = upper_packs
+        self.config = config
+        self._fns = {}
+
+    @classmethod
+    def from_sharded(cls, idx: ShardedHnsw,
+                     pack_links: int = 32) -> "ShardedPackedHnsw":
+        from ..ops import packed as pk
+
+        mesh = idx.mesh
+
+        def pack_one_layer(adj, codes, scales):
+            def local(a, c, s):   # per-device blocks, leading shard dim 1
+                a0, c0, s0 = a[0], c[0], s[0]
+                safe = jnp.clip(a0, 0)
+                pc = c0[safe]
+                ps = jnp.where(a0 >= 0, s0[safe], 0.0)
+                return a, pc[None], ps[None]
+
+            return jax.jit(jax.shard_map(
+                local, mesh=mesh, in_specs=(P(SHARD_AXIS),) * 3,
+                out_specs=(P(SHARD_AXIS),) * 3,
+                check_vma=False))(adj, codes, scales)
+
+        quant = jax.jit(jax.shard_map(
+            jax.vmap(pk.quantize_points), mesh=mesh,
+            in_specs=P(SHARD_AXIS), out_specs=(P(SHARD_AXIS),) * 2,
+            check_vma=False))
+
+        codes, scales = quant(idx.points)
+        zadj = idx.zero
+        if pack_links and pack_links < zadj.shape[2]:
+            zadj = zadj[:, :, :pack_links]
+        zero_pack = pack_one_layer(zadj, codes, scales)
+        uppers = tuple(pack_one_layer(l, codes, scales)
+                       for l in reversed(idx.layers))  # top first
+        return cls(idx.points, idx.gids, zero_pack, uppers, idx.config,
+                   mesh)
+
+    def search_batch(self, queries, k: Optional[int] = None,
+                     ef: Optional[int] = None):
+        """Global packed query: per-shard approx traversal + exact
+        rerank, then all_gather + 2-key-sort top-k merge over ICI."""
+        from ..ops.packed import packed_search
+
+        cfg = self.config
+        metric = resolve(cfg.metric)
+        queries = jnp.asarray(queries, jnp.float32)
+        if queries.ndim == 1:
+            queries = queries[None]
+        ef = ef or cfg.ef_search
+        k = k or min(10, ef)
+        k = min(k, ef)
+        key = (ef, k)
+        if key not in self._fns:
+            n_upper = len(self.upper_packs)
+
+            def local(q, points, gids, *packs):
+                zero_pack = tuple(x[0] for x in packs[:3])
+                uppers = tuple(
+                    tuple(x[0] for x in packs[3 + 3 * i:6 + 3 * i])
+                    for i in range(n_upper))
+                d, p = packed_search(
+                    q, zero_pack, uppers, points[0], metric, ef=ef, k=ef,
+                    max_iter_factor=cfg.max_iter_factor,
+                    expand=getattr(cfg, "search_expand", 4))
+                g = jnp.where(p >= 0, gids[0][jnp.clip(p, 0)], -1)
+                d = jnp.where(g >= 0, d, jnp.inf)
+                ad = jax.lax.all_gather(d, SHARD_AXIS)
+                ag = jax.lax.all_gather(g, SHARD_AXIS)
+                b = q.shape[0]
+                cd = ad.transpose(1, 0, 2).reshape(b, -1)
+                cg = ag.transpose(1, 0, 2).reshape(b, -1)
+                sd, sg = jax.lax.sort((cd, cg), dimension=1, num_keys=2)
+                return sd[:, :k], sg[:, :k]
+
+            n_args = 2 + 3 + 3 * n_upper
+            specs = (P(None, None),) + (P(SHARD_AXIS),) * n_args
+            self._fns[key] = jax.jit(jax.shard_map(
+                local, mesh=self.mesh, in_specs=specs,
+                out_specs=(P(None, None), P(None, None)),
+                check_vma=False))
+        flat = (*self.zero_pack,
+                *(a for pack in self.upper_packs for a in pack))
+        d, g = self._fns[key](queries, self.points, self.gids, *flat)
+        return d, g
+
 
 # ---------------------------------------------------------------------------
 # mesh-parallel construction

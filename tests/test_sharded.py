@@ -47,6 +47,29 @@ def test_sharded_build_and_recall(mesh):
     np.testing.assert_allclose(d[0, 0], got, rtol=1e-5)
 
 
+def test_sharded_packed(mesh):
+    rng = np.random.default_rng(35)
+    pts = rng.random((1600, 8), dtype=np.float32)
+    cfg = Config(seed=35, ef_search=32)
+    idx = ShardedHnsw.build(pts, cfg, mesh=mesh)
+    packed = idx.pack(pack_links=32)
+
+    queries = rng.random((16, 8), dtype=np.float32)
+    d, g = packed.search_batch(queries, k=10)
+    d, g = np.asarray(d), np.asarray(g)
+    assert d.shape == (16, 10)
+    gt_d, gt_i = BruteForce(pts).search_batch(queries, 10)
+    gt_i = np.asarray(gt_i)
+    recall = np.mean([
+        len(set(g[i].tolist()) & set(gt_i[i].tolist())) / 10
+        for i in range(16)])
+    print(f"sharded packed recall@10 = {recall}")
+    assert recall >= 0.9
+    # exact rerank: distances are exact on original points
+    got = ((queries[0] - pts[g[0, 0]]) ** 2).sum()
+    np.testing.assert_allclose(d[0, 0], got, rtol=1e-5)
+
+
 def test_sharded_self_query(mesh):
     rng = np.random.default_rng(33)
     pts = rng.standard_normal((1000, 16)).astype(np.float32)  # not 8-divisible
