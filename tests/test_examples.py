@@ -19,7 +19,7 @@ def test_translate_example(tmp_path, capsys, monkeypatch):
     idx = str(tmp_path / "t.idx.npz")
     monkeypatch.setattr(sys, "argv",
                         ["translate.py", "word7_en", "--index", idx,
-                         "--n-words", "300"])
+                         "--n-words", "150"])
     runpy.run_path(os.path.join(_EXAMPLES, "translate.py"),
                    run_name="__main__")
     out = capsys.readouterr().out

@@ -20,18 +20,18 @@ def mesh():
 def test_sharded_build_and_recall(mesh):
     seed = 31
     rng = np.random.default_rng(seed)
-    pts = rng.random((2048, 8), dtype=np.float32)
+    pts = rng.random((1200, 8), dtype=np.float32)
     cfg = Config(seed=seed, ef_search=64)
     idx = ShardedHnsw.build(pts, cfg, mesh=mesh)
     assert idx.n_shards == 8
-    assert len(idx) == 2048
+    assert len(idx) == 1200
 
     queries = rng.random((16, 8), dtype=np.float32)
     d, g = idx.search_batch(queries, k=10)
     d, g = np.asarray(d), np.asarray(g)
     assert d.shape == (16, 10)
     # global ids reference original input order
-    assert g.min() >= 0 and g.max() < 2048
+    assert g.min() >= 0 and g.max() < 1200
 
     gt_d, gt_i = BruteForce(pts).search_batch(queries, 10)
     gt_i = np.asarray(gt_i)
@@ -49,7 +49,7 @@ def test_sharded_build_and_recall(mesh):
 
 def test_sharded_packed(mesh):
     rng = np.random.default_rng(35)
-    pts = rng.random((1600, 8), dtype=np.float32)
+    pts = rng.random((800, 8), dtype=np.float32)
     cfg = Config(seed=35, ef_search=32)
     idx = ShardedHnsw.build(pts, cfg, mesh=mesh)
     packed = idx.pack(pack_links=32)
@@ -72,9 +72,9 @@ def test_sharded_packed(mesh):
 
 def test_sharded_self_query(mesh):
     rng = np.random.default_rng(33)
-    pts = rng.standard_normal((1000, 16)).astype(np.float32)  # not 8-divisible
+    pts = rng.standard_normal((602, 16)).astype(np.float32)  # not 8-divisible
     idx = ShardedHnsw.build(pts, Config(seed=33, ef_search=32), mesh=mesh)
-    assert len(idx) == 1000
+    assert len(idx) == 602
     d, g = idx.search_batch(pts[:24], k=1)
     assert (np.asarray(g)[:, 0] == np.arange(24)).mean() > 0.95
     np.testing.assert_allclose(np.asarray(d)[:, 0].max(), 0, atol=1e-5)
