@@ -123,7 +123,8 @@ class Hnsw:
     @classmethod
     def build(cls, points, config: Optional[Config] = None, *,
               progress=None, backend: str = "wave",
-              checkpoint: Optional[str] = None
+              checkpoint: Optional[str] = None,
+              checkpoint_every: int = 64
               ) -> tuple["Hnsw", np.ndarray]:
         """Build the index; returns (index, ids) where ids maps the
         original point order to PointIds (reference lib.rs:83-85 and the
@@ -141,7 +142,8 @@ class Hnsw:
             pts, ids, zero, layers = eng.to_arrays(config.m)
             return cls(pts, zero, layers, config), ids
         g: BuiltGraph = build_graph(points, config, progress=progress,
-                                    checkpoint=checkpoint)
+                                    checkpoint=checkpoint,
+                                    checkpoint_every=checkpoint_every)
         return cls(g.points, g.zero, g.layers, config), g.ids
 
     # -- queries -----------------------------------------------------------
