@@ -67,6 +67,11 @@ class Config:
     wave_size: int = 2048
     #: Storage dtype for points on device ("float32" or "bfloat16").
     dtype: str = "float32"
+    #: Dtype of the construction-time neighbor-distance cache
+    #: ("float32" or "bfloat16").  bfloat16 halves a large build's HBM
+    #: footprint (the cache matches the adjacency in size) at the cost
+    #: of tiny ordering jitter among near-equal reverse-edge candidates.
+    dist_cache_dtype: str = "float32"
     #: Safety cap on beam-search iterations, as a multiple of ef.
     max_iter_factor: int = 8
     #: Wavefront width at query time: how many beam entries expand per

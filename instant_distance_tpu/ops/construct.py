@@ -50,17 +50,29 @@ _I32MAX = jnp.iinfo(jnp.int32).max
 # upper-layer greedy descent over the stacked snapshot buffer
 # ---------------------------------------------------------------------------
 
+def _pack_factor(m: int) -> int:
+    """Logical rows per 128-lane physical row of the stacked buffer.
+
+    TPU pads the minor dimension to 128 lanes, so an [R, 32] int32 array
+    physically occupies [R, 128] (4x waste).  The stacked snapshot buffer
+    therefore stores ``128 // m`` logical rows per physical row."""
+    return 128 // m if m <= 128 and 128 % m == 0 else 1
+
+
 def _greedy_stacked(queries, stacked, offsets, n_upper, points,
                     metric: Metric, m: int, cur_d, cur_p,
                     max_iters: int = 512):
     """ef=1 greedy descent through ``n_upper`` stacked snapshot layers.
 
-    ``stacked`` is [cap_rows, m]: the concatenation (top layer first) of
-    completed layer snapshots; ``offsets[i]`` is the row offset of the
-    i-th layer from the top.  ``n_upper`` is dynamic, so one compiled
-    program serves every target layer of the build.
+    ``stacked`` holds the concatenation (top layer first) of completed
+    layer snapshots in lane-packed form ([cap/_pack_factor, m*_pack]);
+    ``offsets[i]`` is the LOGICAL row offset of the i-th layer from the
+    top (a multiple of the pack factor).  ``n_upper`` is dynamic, so one
+    compiled program serves every target layer of the build.
     """
     b = queries.shape[0]
+    pack = _pack_factor(m)
+    col0 = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
 
     def layer_body(i, st):
         cd, cp = st
@@ -72,7 +84,13 @@ def _greedy_stacked(queries, stacked, offsets, n_upper, points,
 
         def body(s):
             it, cd, cp, done = s
-            nb = stacked[off + jnp.clip(cp, 0)][:, :m]
+            idx = off + jnp.clip(cp, 0)
+            if pack == 1:
+                nb = stacked[idx][:, :m]
+            else:
+                phys = stacked[idx // pack]                 # [B, m*pack]
+                cols = (idx % pack)[:, None] * m + col0
+                nb = jnp.take_along_axis(phys, cols, axis=1)
             nvalid = (nb >= 0) & ~done[:, None]
             nd = metric.gathered(queries, points[jnp.clip(nb, 0)])
             nd = jnp.where(nvalid, nd, jnp.inf)
@@ -212,7 +230,7 @@ def wave_step_core(adj, adjd, wave_pids, points, stacked, offsets, n_upper,
     # --- commit forward rows (node.set(i, pid), lib.rs:516) -------------
     rows = jnp.where(wvalid, wave_pids, n)
     adj = adj.at[rows].set(sel_p)
-    adjd = adjd.at[rows].set(sel_d)
+    adjd = adjd.at[rows].set(sel_d.astype(adjd.dtype))
 
     # --- group + commit reverse edges (lib.rs:481-515) ------------------
     utgt, pend_d, pend_p = _group_reverse_edges(
@@ -223,7 +241,8 @@ def wave_step_core(adj, adjd, wave_pids, points, stacked, offsets, n_upper,
         ut, pd_, pp_ = args                                # [RC], [RC, A]
         ut_c = jnp.clip(ut, 0)
         row_p = adj[ut_c]
-        row_d = jnp.where(row_p >= 0, adjd[ut_c], jnp.inf)
+        row_d = jnp.where(row_p >= 0,
+                          adjd[ut_c].astype(jnp.float32), jnp.inf)
         comb_p = jnp.concatenate([row_p, pp_], axis=1)
         comb_d = jnp.concatenate(
             [row_d, jnp.where(pp_ >= 0, pd_, jnp.inf)], axis=1)
@@ -263,7 +282,7 @@ def wave_step_core(adj, adjd, wave_pids, points, stacked, offsets, n_upper,
 
     trows = jnp.where(utgt >= 0, utgt, n)
     adj = adj.at[trows].set(new_p)
-    adjd = adjd.at[trows].set(new_d)
+    adjd = adjd.at[trows].set(new_d.astype(adjd.dtype))
     return adj, adjd
 
 
@@ -352,12 +371,20 @@ def build_graph(points, config: Config, progress=None,
 
     dev_points = jnp.asarray(pts)
     adj = jnp.full((n + 1, m0), -1, jnp.int32)
-    adjd = jnp.full((n + 1, m0), jnp.inf, jnp.float32)
+    adjd = jnp.full((n + 1, m0), jnp.inf,
+                    jnp.dtype(getattr(cfg, "dist_cache_dtype", "float32")))
 
     # stacked upper-snapshot buffer: filled top layer first as layers
     # complete; capacity is known exactly from the sizing schedule.
-    cap_rows = max(1, sum(c for (_, c) in sizes[:-1]))
-    stacked = jnp.full((cap_rows, m), -1, jnp.int32)
+    # Lane-packed (_pack_factor logical rows per 128-lane physical row)
+    # so [*, 32] snapshots don't pay 4x TPU minor-dim padding.
+    pack = _pack_factor(m)
+
+    def _pal(x):  # pack-align
+        return ((x + pack - 1) // pack) * pack
+
+    cap_rows = max(pack, sum(_pal(c) for (_, c) in sizes[:-1]))
+    stacked = jnp.full((cap_rows // pack, m * pack), -1, jnp.int32)
     offsets = np.zeros(16, np.int32)  # fixed size: stable jit signature
     if top > 16:
         raise ValueError("more than 16 upper layers (n too large for ml)")
@@ -367,7 +394,7 @@ def build_graph(points, config: Config, progress=None,
             (cfg.heuristic.extend_candidates, cfg.heuristic.keep_pruned))
 
     # ---- checkpoint/resume ------------------------------------------------
-    ckpt_key = f"{n}:{pts.shape[1]}:{cfg.seed}:{cfg.ef_construction}:" \
+    ckpt_key = f"v2:{n}:{pts.shape[1]}:{cfg.seed}:{cfg.ef_construction}:" \
                f"{m}:{cfg.ml}:{heur}:{cfg.wave_size}"
     resume_li, resume_s, waves_done = -1, -1, 0
     if checkpoint is not None:
@@ -423,13 +450,18 @@ def build_graph(points, config: Config, progress=None,
             # of the restored stacked buffer; otherwise take it now
             if li < resume_li:
                 snap = jax.lax.dynamic_slice(
-                    stacked, (int(offsets[li]), 0), (end, m))
+                    stacked, (int(offsets[li]) // pack, 0),
+                    (_pal(end) // pack, m * pack)).reshape(-1, m)[:end]
             else:
                 snap = adj[:end, :m]
+                end_p = _pal(end)
+                snap_p = jnp.pad(snap, ((0, end_p - end), (0, 0)),
+                                 constant_values=-1)
                 stacked = jax.lax.dynamic_update_slice(
-                    stacked, snap, (write_off, 0))
+                    stacked, snap_p.reshape(end_p // pack, m * pack),
+                    (write_off // pack, 0))
                 offsets[li] = write_off
-                write_off += end
+                write_off += end_p
             layers.append(snap)
 
     if checkpoint is not None:

@@ -265,16 +265,25 @@ def _build_sharded(shard_pts: np.ndarray, config: Config, mesh: Mesh,
         raise ValueError("more than 16 upper layers")
     ranges = [(top - i, max(c - sz, 1), c)
               for i, (sz, c) in enumerate(sizes)]
-    cap_rows = max(1, sum(c for (_, c) in sizes[:-1]))
+    from ..ops.construct import _pack_factor
+
+    pack = _pack_factor(m)
+
+    def _pal(x):  # pack-align (lane-packed stacked buffer)
+        return ((x + pack - 1) // pack) * pack
+
+    cap_rows = max(pack, sum(_pal(c) for (_, c) in sizes[:-1]))
 
     shard = NamedSharding(mesh, P(SHARD_AXIS))
     repl = NamedSharding(mesh, P())
     dev_pts = jax.device_put(jnp.asarray(shard_pts), shard)
     adj = jax.device_put(jnp.full((s, n_s + 1, m0), -1, jnp.int32), shard)
     adjd = jax.device_put(
-        jnp.full((s, n_s + 1, m0), jnp.inf, jnp.float32), shard)
+        jnp.full((s, n_s + 1, m0), jnp.inf,
+                 jnp.dtype(getattr(cfg, "dist_cache_dtype", "float32"))),
+        shard)
     stacked = jax.device_put(
-        jnp.full((s, cap_rows, m), -1, jnp.int32), shard)
+        jnp.full((s, cap_rows // pack, m * pack), -1, jnp.int32), shard)
 
     heur = (None if cfg.heuristic is None else
             (cfg.heuristic.extend_candidates, cfg.heuristic.keep_pruned))
@@ -316,12 +325,16 @@ def _build_sharded(shard_pts: np.ndarray, config: Config, mesh: Mesh,
         if layer > 0:
             snap = adj[:, :end, :m]
             snap_list.append(snap)
+            end_p = _pal(end)
             stacked = jax.jit(
                 lambda st, sn, off: jax.lax.dynamic_update_slice(
-                    st, sn, (0, off, 0)),
-                static_argnums=2)(stacked, snap, write_off)
+                    st, jnp.pad(sn, ((0, 0), (0, end_p - end), (0, 0)),
+                                constant_values=-1).reshape(
+                        sn.shape[0], end_p // pack, m * pack),
+                    (0, off, 0)),
+                static_argnums=2)(stacked, snap, write_off // pack)
             offsets[li] = write_off
-            write_off += end
+            write_off += end_p
 
     snap_list.reverse()
     return adj[:, :n_s], snap_list
