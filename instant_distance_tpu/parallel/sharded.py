@@ -326,13 +326,19 @@ def _build_sharded(shard_pts: np.ndarray, config: Config, mesh: Mesh,
             snap = adj[:, :end, :m]
             snap_list.append(snap)
             end_p = _pal(end)
-            stacked = jax.jit(
-                lambda st, sn, off: jax.lax.dynamic_update_slice(
-                    st, jnp.pad(sn, ((0, 0), (0, end_p - end), (0, 0)),
-                                constant_values=-1).reshape(
-                        sn.shape[0], end_p // pack, m * pack),
-                    (0, off, 0)),
-                static_argnums=2)(stacked, snap, write_off // pack)
+            off_phys = write_off // pack
+
+            def _pack_update(st, sn):  # per-device blocks [1, ...]
+                sp = jnp.pad(sn, ((0, 0), (0, end_p - end), (0, 0)),
+                             constant_values=-1)
+                sp = sp.reshape(1, end_p // pack, m * pack)
+                return jax.lax.dynamic_update_slice(
+                    st, sp, (0, off_phys, 0))
+
+            stacked = jax.jit(jax.shard_map(
+                _pack_update, mesh=mesh,
+                in_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
+                out_specs=P(SHARD_AXIS), check_vma=False))(stacked, snap)
             offsets[li] = write_off
             write_off += end_p
 
