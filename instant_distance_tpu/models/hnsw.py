@@ -28,11 +28,12 @@ from ..ops.distance import resolve
 @functools.partial(jax.jit,
                    static_argnames=("metric_name", "ef", "m", "zero_links",
                                     "max_iter_factor", "expand"))
-def _search_jit(queries, zero, upper, points, *, metric_name, ef, m,
-                zero_links, max_iter_factor, expand):
+def _search_jit(queries, zero, upper, points, eligible, *, metric_name, ef,
+                m, zero_links, max_iter_factor, expand):
     return hnsw_search(queries, zero, upper, points, resolve(metric_name),
                        ef=ef, m=m, zero_links=zero_links,
-                       max_iter_factor=max_iter_factor, expand=expand)
+                       max_iter_factor=max_iter_factor, expand=expand,
+                       eligible=eligible)
 
 
 @dataclasses.dataclass
@@ -112,12 +113,19 @@ class Hnsw:
     serialization parity).
     """
 
-    def __init__(self, points, zero, layers, config: Config):
+    def __init__(self, points, zero, layers, config: Config, alive=None):
         self.points = jnp.asarray(points, jnp.float32)
         self.zero = jnp.asarray(zero, jnp.int32)
         self.layers = [jnp.asarray(l, jnp.int32) for l in layers]
         self.config = config
         self.metric = resolve(config.metric)
+        #: Tombstone mask, bool [N]; None = nothing deleted.  Deleted
+        #: points keep routing traffic through their edges (standard
+        #: tombstone semantics) but never appear in results.
+        self._alive = None if alive is None else jnp.asarray(alive, bool)
+        #: Neighbor-distance cache [N+1, m0] kept only while incremental
+        #: adds are in use (reverse-edge re-selection needs it).
+        self._adjd = None
 
     # -- construction ------------------------------------------------------
     @classmethod
@@ -146,11 +154,68 @@ class Hnsw:
                                     checkpoint_every=checkpoint_every)
         return cls(g.points, g.zero, g.layers, config), g.ids
 
+    # -- incremental updates (beyond the reference: its index is immutable
+    #    after build, SURVEY.md §5 "no add/delete API anywhere") -----------
+    def add(self, new_points, *, progress=None) -> np.ndarray:
+        """Append points to a built index (zero-layer wave insertion).
+
+        New points are inserted at layer 0 with the same search/select/
+        commit recipe as construction waves; the upper-layer skeleton is
+        frozen (it only routes, so quality degrades slowly — rebuild when
+        the index has grown by ~2x or more).  Returns the new PointIds.
+        """
+        from ..ops.construct import extend_graph
+
+        new_pts = np.asarray(new_points, np.float32)
+        if new_pts.ndim == 1:
+            new_pts = new_pts[None]
+        n_old = len(self)
+        pts, zero, adjd = extend_graph(
+            self.points, self.zero, self.layers, new_pts, self.config,
+            adjd=self._adjd, progress=progress)
+        self.points, self.zero, self._adjd = pts, zero, adjd
+        if self._alive is not None:
+            self._alive = jnp.concatenate(
+                [self._alive, jnp.ones(len(new_pts), bool)])
+        return np.arange(n_old, n_old + len(new_pts), dtype=np.int32)
+
+    def delete(self, pids) -> None:
+        """Tombstone points: excluded from all future results, but their
+        edges keep routing traffic (delete-by-mask, no graph surgery)."""
+        if self._alive is None:
+            self._alive = jnp.ones(len(self), bool)
+        idx = np.atleast_1d(np.asarray(pids, np.int64))
+        if idx.size and (idx.min() < 0 or idx.max() >= len(self)):
+            raise IndexError("pid out of range")
+        self._alive = self._alive.at[idx].set(False)
+
+    def is_deleted(self, pid: int) -> bool:
+        return self._alive is not None and not bool(self._alive[pid])
+
+    @property
+    def n_deleted(self) -> int:
+        if self._alive is None:
+            return 0
+        return int((~np.asarray(self._alive)).sum())
+
     # -- queries -----------------------------------------------------------
-    def _run_search(self, queries, ef):
+    def _eligible(self, filter_mask):
+        """Combine the tombstone mask and a per-call filter into the
+        result-eligibility array (None if unrestricted)."""
+        eligible = self._alive
+        if filter_mask is not None:
+            fm = jnp.asarray(filter_mask, bool)
+            if fm.shape != (len(self),):
+                raise ValueError(
+                    f"filter_mask must be [N]={len(self)}, got {fm.shape}")
+            eligible = fm if eligible is None else (eligible & fm)
+        return eligible
+
+    def _run_search(self, queries, ef, eligible=None):
         cfg = self.config
         return _search_jit(
             queries, self.zero, tuple(reversed(self.layers)), self.points,
+            eligible,
             metric_name=(cfg.metric if isinstance(cfg.metric, str)
                          else cfg.metric),
             ef=ef, m=cfg.m, zero_links=cfg.m0,
@@ -158,11 +223,15 @@ class Hnsw:
             expand=getattr(cfg, "search_expand", 1))
 
     def search_batch(self, queries, k: Optional[int] = None,
-                     ef: Optional[int] = None):
+                     ef: Optional[int] = None, filter_mask=None):
         """TPU-native batched query: [B, D] -> (dists [B, k], pids [B, k]).
 
         The reference searches one query at a time (lib.rs:352-383); on
         TPU, B queries traverse the graph together as one wavefront.
+
+        ``filter_mask`` (bool [N], pid order): only mask-true points may
+        appear in results; traversal still routes through the rest
+        (filtered ANN).  Combined with the tombstone mask if any.
         """
         queries = jnp.asarray(queries, jnp.float32)
         single = queries.ndim == 1
@@ -172,7 +241,7 @@ class Hnsw:
         k = k or ef
         if k > ef:
             raise ValueError(f"k={k} > ef={ef}")
-        d, p = self._run_search(queries, ef)
+        d, p = self._run_search(queries, ef, self._eligible(filter_mask))
         return d[:, :k], p[:, :k]
 
     def search(self, point, search: Search) -> Iterator[Neighbor]:
@@ -246,6 +315,17 @@ class HnswMap(Hnsw):
         for src, pid in enumerate(ids):
             reordered[pid] = values[src]
         return cls(hnsw.points, hnsw.zero, hnsw.layers, config, reordered)
+
+    def add(self, new_points, values=None, *, progress=None) -> np.ndarray:
+        """Append (point, value) pairs; returns the new PointIds."""
+        new_pts = np.asarray(new_points, np.float32)
+        if new_pts.ndim == 1:
+            new_pts = new_pts[None]
+        if values is None or len(values) != len(new_pts):
+            raise ValueError("values must match the number of new points")
+        pids = super().add(new_pts, progress=progress)
+        self.values.extend(values)  # new pids are appended in order
+        return pids
 
     def search(self, point, search: Search) -> Iterator[Neighbor]:
         if len(self.points) == 0:

@@ -10,21 +10,22 @@ the analogue of exporting a model to a serving format.
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import Config
 from ..ops import packed as pk
 from ..ops.distance import resolve
-from .hnsw import Hnsw
+from .hnsw import Hnsw, HnswMap
 
 
 @functools.partial(jax.jit, static_argnames=(
     "metric_name", "ef", "k", "max_iter_factor", "expand", "rerank",
     "n_upper"))
-def _packed_search_jit(queries, points, zero_pack, upper_flat, *,
+def _packed_search_jit(queries, points, zero_pack, upper_flat, eligible, *,
                        metric_name, ef, k, max_iter_factor, expand,
                        rerank, n_upper):
     upper_packs = tuple(tuple(upper_flat[3 * i:3 * i + 3])
@@ -32,17 +33,22 @@ def _packed_search_jit(queries, points, zero_pack, upper_flat, *,
     return pk.packed_search(
         queries, zero_pack, upper_packs, points, resolve(metric_name),
         ef=ef, k=k, max_iter_factor=max_iter_factor, expand=expand,
-        rerank=rerank)
+        rerank=rerank, eligible=eligible)
 
 
 class PackedHnsw:
-    """Inline-quantized serving index (search only, immutable)."""
+    """Inline-quantized serving index (immutable graph; tombstones and
+    result filters supported, like the exact index)."""
 
-    def __init__(self, points, zero_pack, upper_packs, config: Config):
+    def __init__(self, points, zero_pack, upper_packs, config: Config,
+                 values: Optional[Sequence[Any]] = None, alive=None):
         self.points = points
         self.zero_pack = zero_pack      # (ids [N,K], codes [N,K,D], s [N,K])
         self.upper_packs = upper_packs  # top first
         self.config = config
+        #: values[pid] -> value, when packed from an HnswMap
+        self.values = None if values is None else list(values)
+        self._alive = None if alive is None else jnp.asarray(alive, bool)
 
     @classmethod
     def from_index(cls, index: Hnsw, pack_links: int = 0) -> "PackedHnsw":
@@ -50,14 +56,18 @@ class PackedHnsw:
 
         ``pack_links`` truncates each zero row to its first N (selection
         -ordered) neighbors, trading recall for memory/throughput;
-        0 keeps the full M*2 row (SIFT1M at full width is ~11 GB)."""
+        0 keeps the full M*2 row (SIFT1M at full width is ~11 GB).
+        Values (HnswMap) and tombstones carry over.
+        """
         codes, scales = pk.quantize_points(index.points)
         zero_pack = pk.pack_layer(index.zero, codes, scales,
                                   links=pack_links)
         uppers = []
         for layer in reversed(index.layers):  # top first
             uppers.append(pk.pack_layer(layer, codes, scales))
-        return cls(index.points, zero_pack, tuple(uppers), index.config)
+        values = index.values if isinstance(index, HnswMap) else None
+        return cls(index.points, zero_pack, tuple(uppers), index.config,
+                   values=values, alive=index._alive)
 
     @classmethod
     def build(cls, points, config: Optional[Config] = None,
@@ -65,14 +75,37 @@ class PackedHnsw:
         index, _ = Hnsw.build(points, config, **kw)
         return cls.from_index(index)
 
+    def __len__(self) -> int:
+        return int(self.points.shape[0])
+
     def nbytes(self) -> int:
         total = 0
         for arrs in (self.zero_pack, *self.upper_packs):
             total += sum(a.size * a.dtype.itemsize for a in arrs)
         return total + self.points.size * self.points.dtype.itemsize
 
+    # -- tombstones (same semantics as Hnsw.delete) -------------------------
+    def delete(self, pids) -> None:
+        if self._alive is None:
+            self._alive = jnp.ones(len(self), bool)
+        idx = np.atleast_1d(np.asarray(pids, np.int64))
+        if idx.size and (idx.min() < 0 or idx.max() >= len(self)):
+            raise IndexError("pid out of range")
+        self._alive = self._alive.at[idx].set(False)
+
+    def _eligible(self, filter_mask):
+        eligible = self._alive
+        if filter_mask is not None:
+            fm = jnp.asarray(filter_mask, bool)
+            if fm.shape != (len(self),):
+                raise ValueError(
+                    f"filter_mask must be [N]={len(self)}, got {fm.shape}")
+            eligible = fm if eligible is None else (eligible & fm)
+        return eligible
+
     def search_batch(self, queries, k: Optional[int] = None,
-                     ef: Optional[int] = None, rerank: bool = True):
+                     ef: Optional[int] = None, rerank: bool = True,
+                     filter_mask=None):
         cfg = self.config
         queries = jnp.asarray(queries, jnp.float32)
         if queries.ndim == 1:
@@ -82,8 +115,20 @@ class PackedHnsw:
         upper_flat = tuple(a for pack in self.upper_packs for a in pack)
         return _packed_search_jit(
             queries, self.points, tuple(self.zero_pack), upper_flat,
+            self._eligible(filter_mask),
             metric_name=(cfg.metric if isinstance(cfg.metric, str)
                          else cfg.metric),
             ef=ef, k=min(k, ef), max_iter_factor=cfg.max_iter_factor,
             expand=getattr(cfg, "search_expand", 4), rerank=rerank,
             n_upper=len(self.upper_packs))
+
+    def search_batch_values(self, queries, k: Optional[int] = None,
+                            ef: Optional[int] = None, filter_mask=None):
+        """Batched query returning (dists, pids, values-nested-list)."""
+        if self.values is None:
+            raise ValueError("this index carries no values")
+        d, p = self.search_batch(queries, k, ef, filter_mask=filter_mask)
+        pn = np.asarray(p)
+        vals = [[self.values[pid] if pid >= 0 else None for pid in row]
+                for row in pn]
+        return d, p, vals

@@ -80,7 +80,8 @@ def greedy_descent(queries, adj, points, metric: Metric, cur_d, cur_p,
 
 def beam_search_layer(queries, adj, points, metric: Metric,
                       beam_d, beam_p, beam_e,
-                      links: int, max_iters: int, expand: int = 1):
+                      links: int, max_iters: int, expand: int = 1,
+                      eligible=None):
     """One layer of batched best-first search with an ef-wide beam.
 
     The beam arrays must be sorted ascending by (dist, pid) with invalid
@@ -99,7 +100,16 @@ def beam_search_layer(queries, adj, points, metric: Metric,
     light).  The stopping rule is unchanged (no unexpanded beam entries),
     so results can only gain recall over expand=1, never lose it.
 
-    Returns the final sorted beam ``(beam_d, beam_p)``.
+    ``eligible`` (optional, bool [N]): predicate filtering which nodes may
+    appear in *results*.  Traversal is unaffected — the beam routes
+    through ineligible nodes exactly as without the filter — but a
+    separate result beam collects only eligible nodes (the filtered-ANN
+    semantics of hnswlib/faiss ID selectors: filter the result set, not
+    the graph walk).  For very selective filters raise ef: the walk still
+    visits ~ef nodes total, of which only the eligible ones are returned.
+
+    Returns the final sorted beam ``(beam_d, beam_p)`` (the result beam
+    when ``eligible`` is given).
     """
     b, ef = beam_p.shape
     row_width = adj.shape[1]
@@ -108,16 +118,27 @@ def beam_search_layer(queries, adj, points, metric: Metric,
         jnp.int32, (1, 1, row_width), 2)                        # [1,1,K]
     slot = jax.lax.broadcasted_iota(jnp.int32, (b, ef), 1)
     rows_b = jnp.arange(b)[:, None]
+    filtered = eligible is not None
+
+    def _mask_eligible(d, p):
+        ok = (p >= 0) & eligible[jnp.clip(p, 0)]
+        return jnp.where(ok, d, jnp.inf), jnp.where(ok, p, -1)
+
+    if filtered:
+        rd0, rp0 = _mask_eligible(beam_d, beam_p)
+        rd0, rp0 = jax.lax.sort((rd0, rp0), dimension=1, num_keys=2)
+    else:  # dummy carries keep one while_loop structure for both modes
+        rd0, rp0 = beam_d, beam_p
 
     def expandable(bp, be):
         return (bp >= 0) & ~be
 
     def cond(state):
-        it, _, bp, be = state
+        it, _, bp, be, _, _ = state
         return (it < max_iters) & jnp.any(expandable(bp, be))
 
     def body(state):
-        it, bd, bp, be = state
+        it, bd, bp, be, rd, rp = state
         exp = expandable(bp, be)                                # [B, ef]
         rank = jnp.cumsum(exp, axis=1) - 1                      # [B, ef]
         chosen = exp & (rank < e_n)
@@ -141,6 +162,21 @@ def beam_search_layer(queries, adj, points, metric: Metric,
         nd = metric.gathered(
             queries, points[jnp.clip(nb, 0)].reshape(b, ek, -1))
         nd = jnp.where(nb >= 0, nd, jnp.inf)
+        if filtered:
+            # a node pruned from the traversal beam can be re-proposed by
+            # a later expansion (it only never re-enters the *beam*), so
+            # the result beam needs its own dedup against current members
+            fd_, fp_ = _mask_eligible(nd, nb)
+            dup_r = jnp.any(
+                (fp_[:, :, None] == rp[:, None, :]) & (rp >= 0)[:, None, :],
+                axis=2)
+            fd_ = jnp.where(dup_r, jnp.inf, fd_)
+            fp_ = jnp.where(dup_r, -1, fp_)
+            rd, rp = jax.lax.sort(
+                (jnp.concatenate([rd, fd_], axis=1),
+                 jnp.concatenate([rp, fp_], axis=1)),
+                dimension=1, num_keys=2)
+            rd, rp = rd[:, :ef], rp[:, :ef]
         # merge: one sort by (dist, pid) — the reference's Candidate
         # order (types.rs:229-234) — then truncate to ef
         cd = jnp.concatenate([bd, nd], axis=1)
@@ -148,17 +184,18 @@ def beam_search_layer(queries, adj, points, metric: Metric,
         ce = jnp.concatenate(
             [be, jnp.zeros_like(nd, bool)], axis=1).astype(jnp.int32)
         fd, fp, fe = jax.lax.sort((cd, cp, ce), dimension=1, num_keys=2)
-        return (it + 1, fd[:, :ef], fp[:, :ef], fe[:, :ef].astype(bool))
+        return (it + 1, fd[:, :ef], fp[:, :ef], fe[:, :ef].astype(bool),
+                rd, rp)
 
-    _, bd, bp, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), beam_d, beam_p, beam_e))
-    return bd, bp
+    _, bd, bp, _, rd, rp = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), beam_d, beam_p, beam_e, rd0, rp0))
+    return (rd, rp) if filtered else (bd, bp)
 
 
 def hnsw_search(queries, zero_adj, upper_adjs, points, metric: Metric,
                 ef: int, m: int, zero_links: int,
                 max_iter_factor: int = 8, greedy_max_iters: int = 512,
-                expand: int = 1):
+                expand: int = 1, eligible=None):
     """Full batched HNSW query: entry -> greedy descent -> zero-layer beam.
 
     Mirrors ``Hnsw::search`` (lib.rs:352-383): the entry point is always pid
@@ -169,6 +206,8 @@ def hnsw_search(queries, zero_adj, upper_adjs, points, metric: Metric,
 
     Args:
       upper_adjs: tuple of [N_l, M] adjacency arrays ordered TOP FIRST.
+      eligible: optional bool [N] result filter (see beam_search_layer);
+        greedy descent ignores it (upper layers only route).
     Returns:
       (dists [B, ef], pids [B, ef]) sorted ascending; invalid slots (inf, -1).
     """
@@ -185,4 +224,4 @@ def hnsw_search(queries, zero_adj, upper_adjs, points, metric: Metric,
     return beam_search_layer(
         queries, zero_adj, points, metric, beam_d, beam_p, beam_e,
         links=zero_links, max_iters=max_iter_factor * ef + 16,
-        expand=expand)
+        expand=expand, eligible=eligible)

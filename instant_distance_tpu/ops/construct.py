@@ -316,6 +316,118 @@ def _bucket(w: int, cap: int) -> int:
     return min(b, cap) if b >= w else cap
 
 
+def _recompute_adjd(points, adj, metric_name, dtype, chunk: int = 16384):
+    """Rebuild the neighbor-distance cache adjd[i, j] = d(p_i, adj[i, j])
+    for an existing graph (needed when starting incremental adds on an
+    index whose build-time cache was discarded).  Chunked so the
+    [C, m0, D] gather intermediate stays small."""
+    metric = resolve(metric_name)
+    n, m0 = adj.shape
+
+    @jax.jit
+    def one(q, rows):
+        d = metric.gathered(q, points[jnp.clip(rows, 0)])
+        return jnp.where(rows >= 0, d, jnp.inf).astype(dtype)
+
+    outs = []
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        pad = chunk - (e - s)
+        q, rows = points[s:e], adj[s:e]
+        if pad:
+            q = jnp.pad(q, ((0, pad), (0, 0)))
+            rows = jnp.pad(rows, ((0, pad), (0, 0)), constant_values=-1)
+        outs.append(one(q, rows)[:e - s])
+    return jnp.concatenate(outs) if outs else jnp.zeros((0, m0), dtype)
+
+
+def extend_graph(points, zero, layers, new_points, config: Config,
+                 adjd=None, progress=None):
+    """Insert ``new_points`` at layer 0 of an existing graph.
+
+    The incremental-add backend (the reference's index is immutable,
+    lib.rs has no add API — this is a beyond-parity capability).  New
+    points run the standard wave recipe — batched search of the current
+    graph, Alg. 3/4 selection, deterministic forward + reverse edge
+    commit — against a frozen upper-layer skeleton.
+
+    Returns ``(all_points [N+A, D], zero [N+A, m0], adjd [N+A+1, m0])``;
+    callers should retain ``adjd`` to make subsequent adds cheap.
+    """
+    cfg = config
+    metric_name = cfg.metric if isinstance(cfg.metric, str) else cfg.metric
+    m, m0 = cfg.m, cfg.m0
+    new_pts = jnp.asarray(new_points, jnp.float32)
+    n_old = zero.shape[0]
+    a = new_pts.shape[0]
+    n_total = n_old + a
+    if n_old == 0:
+        raise ValueError("cannot add to an empty index; use build()")
+    if n_total >= 2**31:
+        raise ValueError("point count must fit in int32")
+
+    all_pts = jnp.concatenate([jnp.asarray(points, jnp.float32), new_pts])
+    adj = jnp.concatenate(
+        [jnp.asarray(zero, jnp.int32),
+         jnp.full((a + 1, m0), -1, jnp.int32)])            # [N+A+1, m0]
+
+    cache_dtype = jnp.dtype(getattr(cfg, "dist_cache_dtype", "float32"))
+    if adjd is not None and adjd.shape[0] >= n_old:
+        old_d = adjd[:n_old]
+    else:
+        old_d = _recompute_adjd(all_pts, adj[:n_old], metric_name,
+                                cache_dtype)
+    adjd = jnp.concatenate(
+        [old_d, jnp.full((a + 1, m0), jnp.inf, cache_dtype)])
+
+    # rebuild the stacked upper-snapshot buffer from the stored layers
+    # (reference layout: layers[l-1] = level l, so reversed = top first)
+    uppers = [jnp.asarray(l, jnp.int32) for l in reversed(layers)]
+    pack = _pack_factor(m)
+
+    def _pal(x):
+        return ((x + pack - 1) // pack) * pack
+
+    cap_rows = max(pack, sum(_pal(l.shape[0]) for l in uppers))
+    stacked = jnp.full((cap_rows // pack, m * pack), -1, jnp.int32)
+    offsets = np.zeros(16, np.int32)
+    if len(uppers) > 16:
+        raise ValueError("more than 16 upper layers")
+    write_off = 0
+    for li, l in enumerate(uppers):
+        end = l.shape[0]
+        end_p = _pal(end)
+        lp = jnp.pad(l[:, :m], ((0, end_p - end), (0, 0)),
+                     constant_values=-1)
+        stacked = jax.lax.dynamic_update_slice(
+            stacked, lp.reshape(end_p // pack, m * pack),
+            (write_off // pack, 0))
+        offsets[li] = write_off
+        write_off += end_p
+
+    heur = (None if cfg.heuristic is None else
+            (cfg.heuristic.extend_candidates, cfg.heuristic.keep_pruned))
+    n_upper = jnp.int32(len(uppers))
+    done = 0
+    for s, e in _wave_schedule(n_old, n_total, cfg.wave_size):
+        w = e - s
+        wb = _bucket(w, cfg.wave_size)
+        wave = np.full(wb, -1, np.int32)
+        wave[:w] = np.arange(s, e, dtype=np.int32)
+        adj, adjd = _wave_step(
+            adj, adjd, jnp.asarray(wave), all_pts, stacked,
+            jnp.asarray(offsets), n_upper, jnp.int32(m0),
+            metric_name=metric_name, efc=cfg.ef_construction,
+            m=m, m0=m0, heuristic=heur,
+            rev_chunk=2048, pend_cap=min(m0, 64),
+            max_iter_factor=cfg.max_iter_factor,
+            expand=getattr(cfg, "construct_expand", 1))
+        done += w
+        if progress is not None:
+            progress(done, a, "add")
+    return all_pts, adj[:n_total], adjd
+
+
 class BuiltGraph:
     """Result of construction: the dense arrays an index is made of."""
 

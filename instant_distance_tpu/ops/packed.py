@@ -126,9 +126,14 @@ def greedy_descent_packed(queries, ids, codes, scales, cur_d, cur_p,
 
 def beam_search_packed(queries, ids, codes, scales,
                        beam_d, beam_p, beam_e, max_iters: int,
-                       expand: int = 1):
+                       expand: int = 1, eligible=None):
     """Packed-layer beam search: same wavefront semantics as
-    ops.beam.beam_search_layer, with inline approx distances."""
+    ops.beam.beam_search_layer, with inline approx distances.
+
+    ``eligible`` (bool [N], optional): result filter — traversal routes
+    through ineligible nodes, a separate result beam keeps only eligible
+    ones (see ops/beam.py for the semantics argument).
+    """
     b, ef = beam_p.shape
     k = ids.shape[1]
     e_n = max(1, min(expand, ef))
@@ -136,16 +141,27 @@ def beam_search_packed(queries, ids, codes, scales,
     rows_b = jnp.arange(b)[:, None]
     ek = e_n * k
     tril = jnp.tril(jnp.ones((ek, ek), bool), k=-1)
+    filtered = eligible is not None
+
+    def _mask_eligible(d, p):
+        ok = (p >= 0) & eligible[jnp.clip(p, 0)]
+        return jnp.where(ok, d, jnp.inf), jnp.where(ok, p, -1)
+
+    if filtered:
+        rd0, rp0 = _mask_eligible(beam_d, beam_p)
+        rd0, rp0 = jax.lax.sort((rd0, rp0), dimension=1, num_keys=2)
+    else:
+        rd0, rp0 = beam_d, beam_p
 
     def expandable(bp, be):
         return (bp >= 0) & ~be
 
     def cond(state):
-        it, _, bp, be = state
+        it, _, bp, be, _, _ = state
         return (it < max_iters) & jnp.any(expandable(bp, be))
 
     def body(state):
-        it, bd, bp, be = state
+        it, bd, bp, be, rd, rp = state
         exp = expandable(bp, be)
         rank = jnp.cumsum(exp, axis=1) - 1
         chosen = exp & (rank < e_n)
@@ -167,26 +183,40 @@ def beam_search_packed(queries, ids, codes, scales,
         dup |= jnp.any((nb[:, :, None] == nb[:, None, :]) & tril, axis=2)
         nd = jnp.where(dup, jnp.inf, nd)
         nb = jnp.where(dup, -1, nb)
+        if filtered:
+            fd_, fp_ = _mask_eligible(nd, nb)
+            dup_r = jnp.any(
+                (fp_[:, :, None] == rp[:, None, :]) & (rp >= 0)[:, None, :],
+                axis=2)
+            fd_ = jnp.where(dup_r, jnp.inf, fd_)
+            fp_ = jnp.where(dup_r, -1, fp_)
+            rd, rp = jax.lax.sort(
+                (jnp.concatenate([rd, fd_], axis=1),
+                 jnp.concatenate([rp, fp_], axis=1)),
+                dimension=1, num_keys=2)
+            rd, rp = rd[:, :ef], rp[:, :ef]
         cd = jnp.concatenate([bd, nd], axis=1)
         cp = jnp.concatenate([bp, nb], axis=1)
         ce = jnp.concatenate(
             [be, jnp.zeros_like(nd, bool)], axis=1).astype(jnp.int32)
         fd, fp, fe = jax.lax.sort((cd, cp, ce), dimension=1, num_keys=2)
-        return (it + 1, fd[:, :ef], fp[:, :ef], fe[:, :ef].astype(bool))
+        return (it + 1, fd[:, :ef], fp[:, :ef], fe[:, :ef].astype(bool),
+                rd, rp)
 
-    _, bd, bp, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), beam_d, beam_p, beam_e))
-    return bd, bp
+    _, bd, bp, _, rd, rp = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), beam_d, beam_p, beam_e, rd0, rp0))
+    return (rd, rp) if filtered else (bd, bp)
 
 
 def packed_search(queries, zero_pack, upper_packs, points, metric: Metric,
                   ef: int, k: int, max_iter_factor: int = 8,
-                  expand: int = 4, rerank: bool = True):
+                  expand: int = 4, rerank: bool = True, eligible=None):
     """Full packed query: approx descent + approx beam + exact rerank.
 
     ``zero_pack``/``upper_packs``: (ids, codes, scales) tuples (uppers
     ordered top first).  ``points`` are the exact f32 vectors used only
-    for the final rerank (ef rows per query).
+    for the final rerank (ef rows per query).  ``eligible`` (bool [N],
+    optional) filters results without affecting traversal.
     Returns (dists [B, k], pids [B, k]) with exact distances.
     """
     b = queries.shape[0]
@@ -201,7 +231,8 @@ def packed_search(queries, zero_pack, upper_packs, points, metric: Metric,
     beam_e = jnp.zeros((b, ef), bool)
     bd, bp = beam_search_packed(
         queries, zids, zcodes, zscales, beam_d, beam_p, beam_e,
-        max_iters=max_iter_factor * ef + 16, expand=expand)
+        max_iters=max_iter_factor * ef + 16, expand=expand,
+        eligible=eligible)
     if not rerank:
         return bd[:, :k], bp[:, :k]
     # exact rerank of the final beam (the only exact-point gather)

@@ -45,7 +45,7 @@ class ShardedHnsw:
     """
 
     def __init__(self, points, zero, layers, gids, config: Config,
-                 mesh: Mesh):
+                 mesh: Mesh, values=None):
         self.mesh = mesh
         shard = NamedSharding(mesh, P(SHARD_AXIS))
         self.points = jax.device_put(jnp.asarray(points, jnp.float32), shard)
@@ -54,6 +54,11 @@ class ShardedHnsw:
                        for l in layers]
         self.gids = jax.device_put(jnp.asarray(gids, jnp.int32), shard)
         self.config = config
+        #: values indexed by ORIGINAL global id (the id space search
+        #: results use), not by local pid.
+        self.values = None if values is None else list(values)
+        #: Tombstone mask over global ids (host-side, [n_global] bool).
+        self._alive = None
         self._search_fn = None
 
     @property
@@ -63,13 +68,40 @@ class ShardedHnsw:
     def __len__(self) -> int:
         return int((np.asarray(self.gids) >= 0).sum())
 
+    def delete(self, global_ids) -> None:
+        """Tombstone points by ORIGINAL global id (result-filtered,
+        graph untouched)."""
+        if self._alive is None:
+            self._alive = np.ones(len(self), bool)
+        idx = np.atleast_1d(np.asarray(global_ids, np.int64))
+        if idx.size and (idx.min() < 0 or idx.max() >= len(self)):
+            raise IndexError("global id out of range")
+        self._alive[idx] = False
+
+    def _eligible(self, filter_mask):
+        eligible = self._alive
+        if filter_mask is not None:
+            fm = np.asarray(filter_mask, bool)
+            if fm.shape != (len(self),):
+                raise ValueError(
+                    f"filter_mask must be [N]={len(self)}, got {fm.shape}")
+            eligible = fm if eligible is None else (eligible & fm)
+        return None if eligible is None else jnp.asarray(eligible)
+
     # ------------------------------------------------------------------
     @classmethod
     def build(cls, points, config: Optional[Config] = None,
-              mesh: Optional[Mesh] = None, progress=None) -> "ShardedHnsw":
+              mesh: Optional[Mesh] = None, progress=None,
+              values=None) -> "ShardedHnsw":
         """Shard the point set over the mesh and build all shard graphs
-        in parallel, one wave step for every shard per device step."""
+        in parallel, one wave step for every shard per device step.
+
+        ``values`` (optional): per-point payloads, indexed by original
+        input order — exactly the id space ``search_batch`` returns.
+        """
         config = config or Config()
+        if values is not None and len(values) != len(points):
+            raise ValueError("points and values must have the same length")
         mesh = mesh or default_mesh()
         s = mesh.devices.size
         pts = np.asarray(points, np.float32)
@@ -97,19 +129,24 @@ class ShardedHnsw:
 
         zero, layers = _build_sharded(shard_pts, config, mesh,
                                       progress=progress)
-        return cls(shard_pts, zero, layers, shard_gids, config, mesh)
+        return cls(shard_pts, zero, layers, shard_gids, config, mesh,
+                   values=values)
 
     # ------------------------------------------------------------------
-    def _make_search(self, ef: int, n_layers: int):
+    def _make_search(self, ef: int, n_layers: int, filtered: bool):
         cfg = self.config
         metric = resolve(cfg.metric)
 
-        def local(q, zero, pts, gids, *layers):
+        def local(q, fm, zero, pts, gids, *layers):
+            # translate the global-id filter into local-pid eligibility
+            el = None
+            if filtered:
+                el = (gids[0] >= 0) & fm[jnp.clip(gids[0], 0)]
             d, p = hnsw_search(
                 q, zero[0], tuple(l[0] for l in layers), pts[0], metric,
                 ef=ef, m=cfg.m, zero_links=cfg.m0,
                 max_iter_factor=cfg.max_iter_factor,
-                expand=getattr(cfg, "search_expand", 1))
+                expand=getattr(cfg, "search_expand", 1), eligible=el)
             g = jnp.where(p >= 0, gids[0][jnp.clip(p, 0)], -1)
             d = jnp.where(g >= 0, d, jnp.inf)
             ad = jax.lax.all_gather(d, SHARD_AXIS)        # [S, B, ef]
@@ -120,29 +157,47 @@ class ShardedHnsw:
             sd, sg = jax.lax.sort((cd, cg), dimension=1, num_keys=2)
             return sd[:, :ef], sg[:, :ef]
 
-        specs = (P(None, None),) + (P(SHARD_AXIS),) * (3 + n_layers)
+        specs = ((P(None, None), P(None))
+                 + (P(SHARD_AXIS),) * (3 + n_layers))
         return jax.jit(jax.shard_map(
             local, mesh=self.mesh, in_specs=specs,
             out_specs=(P(None, None), P(None, None)), check_vma=False))
 
     def search_batch(self, queries, k: Optional[int] = None,
-                     ef: Optional[int] = None):
+                     ef: Optional[int] = None, filter_mask=None):
         """Batched global query -> (dists [B, k], global ids [B, k]).
 
         Global ids index the *original* input order (the sharded build's
         analogue of the id remap returned by ``Builder::build_hnsw``).
+        ``filter_mask`` (bool [n_global], original order) restricts
+        results without affecting traversal.
         """
         queries = jnp.asarray(queries, jnp.float32)
         if queries.ndim == 1:
             queries = queries[None]
         ef = ef or self.config.ef_search
         k = k or ef
-        key = (ef, len(self.layers))
+        eligible = self._eligible(filter_mask)
+        key = (ef, len(self.layers), eligible is not None)
         if self._search_fn is None or self._search_fn[0] != key:
-            self._search_fn = (key, self._make_search(ef, len(self.layers)))
-        d, g = self._search_fn[1](queries, self.zero, self.points,
+            self._search_fn = (
+                key, self._make_search(ef, len(self.layers),
+                                       eligible is not None))
+        fm = (jnp.ones(1, bool) if eligible is None else eligible)
+        d, g = self._search_fn[1](queries, fm, self.zero, self.points,
                                   self.gids, *self.layers)
         return d[:, :k], g[:, :k]
+
+    def search_batch_values(self, queries, k: Optional[int] = None,
+                            ef: Optional[int] = None, filter_mask=None):
+        """Batched query returning (dists, global ids, values)."""
+        if self.values is None:
+            raise ValueError("this index carries no values")
+        d, g = self.search_batch(queries, k, ef, filter_mask=filter_mask)
+        gn = np.asarray(g)
+        vals = [[self.values[gid] if gid >= 0 else None for gid in row]
+                for row in gn]
+        return d, g, vals
 
     def pack(self, pack_links: int = 32) -> "ShardedPackedHnsw":
         """Compile every shard into the inline-int8 serving form
@@ -155,14 +210,23 @@ class ShardedPackedHnsw:
     """Mesh-sharded packed serving index."""
 
     def __init__(self, points, gids, zero_pack, upper_packs,
-                 config: Config, mesh: Mesh):
+                 config: Config, mesh: Mesh, values=None, alive=None):
         self.mesh = mesh
         self.points = points          # [S, n_s, D]
         self.gids = gids              # [S, n_s]
         self.zero_pack = zero_pack    # (ids, codes, scales), each [S, ...]
         self.upper_packs = upper_packs
         self.config = config
+        self.values = None if values is None else list(values)
+        self._alive = None if alive is None else np.asarray(alive, bool)
         self._fns = {}
+
+    def __len__(self) -> int:
+        return int((np.asarray(self.gids) >= 0).sum())
+
+    delete = ShardedHnsw.delete
+    _eligible = ShardedHnsw._eligible
+    search_batch_values = ShardedHnsw.search_batch_values
 
     @classmethod
     def from_sharded(cls, idx: ShardedHnsw,
@@ -197,12 +261,14 @@ class ShardedPackedHnsw:
         uppers = tuple(pack_one_layer(l, codes, scales)
                        for l in reversed(idx.layers))  # top first
         return cls(idx.points, idx.gids, zero_pack, uppers, idx.config,
-                   mesh)
+                   mesh, values=idx.values, alive=idx._alive)
 
     def search_batch(self, queries, k: Optional[int] = None,
-                     ef: Optional[int] = None):
+                     ef: Optional[int] = None, filter_mask=None):
         """Global packed query: per-shard approx traversal + exact
-        rerank, then all_gather + 2-key-sort top-k merge over ICI."""
+        rerank, then all_gather + 2-key-sort top-k merge over ICI.
+        ``filter_mask`` (bool [n_global], original order) restricts
+        results without affecting traversal."""
         from ..ops.packed import packed_search
 
         cfg = self.config
@@ -213,19 +279,24 @@ class ShardedPackedHnsw:
         ef = ef or cfg.ef_search
         k = k or min(10, ef)
         k = min(k, ef)
-        key = (ef, k)
+        eligible = self._eligible(filter_mask)
+        key = (ef, k, eligible is not None)
         if key not in self._fns:
             n_upper = len(self.upper_packs)
+            filtered = eligible is not None
 
-            def local(q, points, gids, *packs):
+            def local(q, fm, points, gids, *packs):
                 zero_pack = tuple(x[0] for x in packs[:3])
                 uppers = tuple(
                     tuple(x[0] for x in packs[3 + 3 * i:6 + 3 * i])
                     for i in range(n_upper))
+                el = None
+                if filtered:
+                    el = (gids[0] >= 0) & fm[jnp.clip(gids[0], 0)]
                 d, p = packed_search(
                     q, zero_pack, uppers, points[0], metric, ef=ef, k=ef,
                     max_iter_factor=cfg.max_iter_factor,
-                    expand=getattr(cfg, "search_expand", 4))
+                    expand=getattr(cfg, "search_expand", 4), eligible=el)
                 g = jnp.where(p >= 0, gids[0][jnp.clip(p, 0)], -1)
                 d = jnp.where(g >= 0, d, jnp.inf)
                 ad = jax.lax.all_gather(d, SHARD_AXIS)
@@ -237,14 +308,16 @@ class ShardedPackedHnsw:
                 return sd[:, :k], sg[:, :k]
 
             n_args = 2 + 3 + 3 * n_upper
-            specs = (P(None, None),) + (P(SHARD_AXIS),) * n_args
+            specs = ((P(None, None), P(None))
+                     + (P(SHARD_AXIS),) * n_args)
             self._fns[key] = jax.jit(jax.shard_map(
                 local, mesh=self.mesh, in_specs=specs,
                 out_specs=(P(None, None), P(None, None)),
                 check_vma=False))
         flat = (*self.zero_pack,
                 *(a for pack in self.upper_packs for a in pack))
-        d, g = self._fns[key](queries, self.points, self.gids, *flat)
+        fm = (jnp.ones(1, bool) if eligible is None else eligible)
+        d, g = self._fns[key](queries, fm, self.points, self.gids, *flat)
         return d, g
 
 

@@ -76,6 +76,9 @@ def dump_native(index, fname: str) -> None:
     values = getattr(index, "values", None)
     if values is not None:
         arrays["values"] = np.array(json.dumps(list(values)))
+    alive = getattr(index, "_alive", None)
+    if alive is not None:
+        arrays["alive"] = np.asarray(alive, bool)
     with open(fname, "wb") as f:
         np.savez(f, **arrays)
 
@@ -90,10 +93,17 @@ def load_native(fname: str):
         points = z["points"]
         zero = z["zero"]
         layers = [z[f"layer_{i}"] for i in range(int(z["n_layers"]))]
+        alive = z["alive"] if "alive" in z.files else None
         if "values" in z.files:
             values = json.loads(str(z["values"]))
-            return HnswMap(points, zero, layers, cfg, values)
-        return Hnsw(points, zero, layers, cfg)
+            idx = HnswMap(points, zero, layers, cfg, values)
+        else:
+            idx = Hnsw(points, zero, layers, cfg)
+        if alive is not None:
+            import jax.numpy as jnp
+
+            idx._alive = jnp.asarray(alive, bool)
+        return idx
 
 
 # ---------------------------------------------------------------------------

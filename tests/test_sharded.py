@@ -78,3 +78,34 @@ def test_sharded_self_query(mesh):
     d, g = idx.search_batch(pts[:24], k=1)
     assert (np.asarray(g)[:, 0] == np.arange(24)).mean() > 0.95
     np.testing.assert_allclose(np.asarray(d)[:, 0].max(), 0, atol=1e-5)
+
+
+def test_sharded_values_filter_delete(mesh):
+    rng = np.random.default_rng(41)
+    pts = rng.random((640, 8), dtype=np.float32)
+    cfg = Config(seed=41, ef_search=32)
+    idx = ShardedHnsw.build(pts, cfg, mesh=mesh,
+                            values=[f"v{i}" for i in range(640)])
+
+    q = pts[100:104]
+    d, g, vals = idx.search_batch_values(q, k=1)
+    g = np.asarray(g)
+    assert vals[0][0] == f"v{g[0, 0]}"     # values keyed by global id
+    assert g[0, 0] == 100                  # self-query
+
+    # filter by global id: exclude the self-hits
+    mask = np.ones(640, bool)
+    mask[100:104] = False
+    d2, g2 = idx.search_batch(q, k=1, filter_mask=mask)
+    g2 = np.asarray(g2)
+    assert not np.isin(g2[:, 0], np.arange(100, 104)).any()
+    assert (g2[:, 0] >= 0).all()
+
+    # tombstones survive packing
+    idx.delete([100])
+    packed = idx.pack(pack_links=32)
+    assert packed.values is not None
+    d3, g3 = packed.search_batch(q[:1], k=1)
+    assert int(np.asarray(g3)[0, 0]) != 100
+    d4, g4, vals4 = packed.search_batch_values(q[1:2], k=1)
+    assert vals4[0][0] == f"v{int(np.asarray(g4)[0, 0])}"
