@@ -21,8 +21,10 @@ __all__ = [
     "Search",
     "Neighbor",
     "BruteForce",
+    "ScanIndex",
     "PackedHnsw",
     "ShardedHnsw",
+    "ShardedScanIndex",
     "ReplicatedHnsw",
     "DEFAULT_M",
     "INVALID",
@@ -40,6 +42,10 @@ def __getattr__(name):
         from .models.brute import BruteForce
 
         return BruteForce
+    if name == "ScanIndex":
+        from .models.scan import ScanIndex
+
+        return ScanIndex
     if name == "PackedHnsw":
         from .models.packed import PackedHnsw
 
@@ -48,6 +54,10 @@ def __getattr__(name):
         from .parallel.sharded import ShardedHnsw
 
         return ShardedHnsw
+    if name == "ShardedScanIndex":
+        from .parallel.scan import ShardedScanIndex
+
+        return ShardedScanIndex
     if name == "ReplicatedHnsw":
         from .parallel.replicated import ReplicatedHnsw
 

@@ -1,0 +1,244 @@
+"""ScanIndex: int8 MXU-scan + exact-rerank serving (no graph).
+
+The TPU-native answer to the row-issue bound (docs/performance.md): HNSW
+traversal on TPU costs ~11 ns per scattered row *regardless of row
+bytes*, so at SIFT1M shapes the graph walk caps out in the tens of
+thousands of QPS.  The MXU, by contrast, multiplies int8 at ~400 TOPS —
+scoring EVERY point against a query batch costs ~0.25 GOP per query at
+1M x 128, i.e. the *exhaustive* quantized scan is faster than walking
+the graph.  This model drops the graph entirely for the serving path:
+
+  1. points are int8-quantized per point (symmetric max-abs, the same
+     codes as ops/packed.py) once at build;
+  2. a query batch is int8-quantized per query (asymmetric error is
+     repaired by the rerank);
+  3. scores = one [B, N] int8 x int8 MXU matmul, streamed in chunks with
+     a running per-chunk top-ef merge (so the [B, N] score matrix never
+     materializes);
+  4. the top-ef candidates get exact f32 distances (one ef-row gather
+     per query) and the final top-k is exact.
+
+This is the ScaNN/MIPS recipe mapped onto the MXU; the reference has no
+equivalent (its only exact scan is the ad-hoc ground-truth loop in
+tests/all.rs:63-70).  Unlike the graph indices, the filter/tombstone
+semantics here are *exhaustively exact*: every eligible point is scored.
+
+Use it when N x D fits the FLOP budget (<=~10M x 1k-d per chip);
+ShardedHnsw/PackedHnsw remain the choice for cheap single queries or
+very large N.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..ops.distance import resolve
+from ..ops.packed import quantize_points
+
+
+def _quantize_queries(queries):
+    """Per-query symmetric int8 (same scheme as quantize_points)."""
+    amax = jnp.max(jnp.abs(queries), axis=-1)
+    scale = jnp.maximum(amax, 1e-30) / 127.0
+    codes = jnp.clip(jnp.round(queries / scale[:, None]), -127, 127)
+    return codes.astype(jnp.int8), scale.astype(jnp.float32)
+
+
+def scan_candidates(queries, codes, scales, norms, eligible, *,
+                    metric_name: str, ef: int, chunk: int,
+                    approx_topk: bool = False):
+    """The streamed quantized scan: [B, D] queries vs [N] codes ->
+    (approx dists [B, ef], ids [B, ef]) sorted by (dist, id), -1 padded.
+    Shared by ScanIndex and the sharded/replicated serving wrappers
+    (traceable: call under jit / shard_map).
+
+    ``approx_topk`` uses the TPU-accelerated ``lax.approx_min_k`` for the
+    per-chunk candidate selection (recall ~0.95+ per chunk at default
+    settings; the exact rerank repairs ordering, so end recall loss is
+    tiny while large-chunk selection gets much cheaper)."""
+    b = queries.shape[0]
+    n = codes.shape[0]
+    chunk = min(chunk, n)
+    n_chunks = (n + chunk - 1) // chunk
+    pad = n_chunks * chunk - n
+    codes_p = jnp.pad(codes, ((0, pad), (0, 0)))
+    scales_p = jnp.pad(scales, (0, pad))
+    norms_p = jnp.pad(norms, (0, pad))
+    eligible_p = None if eligible is None else jnp.pad(eligible, (0, pad))
+    ef = min(ef, n)
+
+    qc, qs = _quantize_queries(queries)
+    is_dot = metric_name in ("dot", "cosine")
+    if metric_name == "cosine":
+        qn = jnp.sqrt(jnp.sum(queries * queries, axis=1))
+        qs = qs / jnp.maximum(qn, 1e-30)
+
+    def body(carry, i):
+        best_d, best_i = carry
+        cblock = jax.lax.dynamic_slice_in_dim(codes_p, i * chunk, chunk)
+        sblock = jax.lax.dynamic_slice_in_dim(scales_p, i * chunk, chunk)
+        nblock = jax.lax.dynamic_slice_in_dim(norms_p, i * chunk, chunk)
+        # the hot op: int8 x int8 -> int32 on the MXU
+        dot = jax.lax.dot_general(
+            qc, cblock, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)               # [B, C]
+        prod = (qs[:, None] * sblock[None, :]) * dot.astype(jnp.float32)
+        if metric_name == "cosine":  # also normalize by the point norm
+            d = -prod * jax.lax.rsqrt(
+                jnp.maximum(nblock, 1e-30))[None, :]
+        elif is_dot:
+            d = -prod
+        else:  # squared L2 up to the per-query constant |q|^2
+            d = nblock[None, :] - 2.0 * prod
+        ids = i * chunk + jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+        ok = ids < n
+        if eligible_p is not None:
+            el = jax.lax.dynamic_slice_in_dim(eligible_p, i * chunk, chunk)
+            ok = ok & el[None, :]
+        d = jnp.where(ok, d, jnp.inf)
+        if approx_topk:
+            md, nidx = jax.lax.approx_min_k(d, ef)
+            nd = -md
+        else:
+            nd, nidx = jax.lax.top_k(-d, ef)
+        ni = jnp.take_along_axis(ids, nidx, axis=1)
+        ni = jnp.where(jnp.isfinite(nd), ni, -1)
+        cat_d = jnp.concatenate([best_d, -nd], axis=1)
+        cat_i = jnp.concatenate(
+            [best_i, jnp.where(ni >= 0, ni, np.iinfo(np.int32).max)],
+            axis=1)
+        sd, si = jax.lax.sort((cat_d, cat_i), dimension=1, num_keys=2)
+        return (sd[:, :ef], si[:, :ef]), None
+
+    init = (jnp.full((b, ef), jnp.inf, jnp.float32),
+            jnp.full((b, ef), np.iinfo(np.int32).max, jnp.int32))
+    (bd, bi), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
+    bi = jnp.where(jnp.isfinite(bd), bi, -1)
+    return bd, bi
+
+
+def rerank_exact(queries, points, bi, metric, k: int):
+    """Exact top-k over candidate ids: one ef-row gather per query."""
+    exact = metric.gathered(queries, points[jnp.clip(bi, 0)])
+    exact = jnp.where(bi >= 0, exact, jnp.inf)
+    sd, si = jax.lax.sort((exact, bi), dimension=1, num_keys=2)
+    return sd[:, :k], si[:, :k]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric_name", "ef", "k", "chunk", "rerank",
+                     "approx_topk"))
+def _scan_search_jit(queries, codes, scales, norms, points, eligible, *,
+                     metric_name, ef, k, chunk, rerank,
+                     approx_topk=False):
+    bd, bi = scan_candidates(queries, codes, scales, norms, eligible,
+                             metric_name=metric_name, ef=ef, chunk=chunk,
+                             approx_topk=approx_topk)
+    if not rerank:
+        return bd[:, :k], bi[:, :k]
+    # exact rerank: ef true f32 distances per query (HIGHEST precision)
+    return rerank_exact(queries, points, bi, resolve(metric_name), k)
+
+
+class ScanIndex:
+    """Quantized exhaustive-scan index (int8 MXU scoring + exact rerank).
+
+    Ids are the original input order — there is no graph, hence no pid
+    remap.  Supports values, tombstones and exact result filters.
+    """
+
+    def __init__(self, points, metric: str = "sqeuclidean",
+                 chunk: int = 1 << 17,
+                 values: Optional[Sequence[Any]] = None):
+        if not isinstance(metric, str):
+            raise ValueError(
+                "ScanIndex needs a matmul-form metric name "
+                "(sqeuclidean/euclidean/dot/cosine); use BruteForce for "
+                "custom callables")
+        self.points = jnp.asarray(points, jnp.float32)
+        self.metric_name = metric
+        n = self.points.shape[0]
+        self.chunk = int(min(chunk, max(1, n)))
+        self.codes, self.scales = quantize_points(self.points)
+        deq = self.codes.astype(jnp.float32) * self.scales[:, None]
+        self.norms = jnp.sum(deq * deq, axis=1)     # |p_hat|^2  [N]
+        self.values = None if values is None else list(values)
+        self._alive = None
+        self.config = Config(metric=metric)  # for API uniformity
+
+    @classmethod
+    def build(cls, points, config: Optional[Config] = None,
+              values=None, **kw) -> "ScanIndex":
+        metric = config.metric if config is not None else "sqeuclidean"
+        return cls(points, metric=metric, values=values, **kw)
+
+    def __len__(self) -> int:
+        return int(self.points.shape[0])
+
+    def nbytes(self) -> int:
+        return sum(int(a.size) * a.dtype.itemsize
+                   for a in (self.points, self.codes, self.scales,
+                             self.norms))
+
+    # -- tombstones / filters (exact here: excluded points are never
+    #    scored into the candidate set) ------------------------------------
+    def delete(self, ids) -> None:
+        if self._alive is None:
+            self._alive = jnp.ones(len(self), bool)
+        idx = np.atleast_1d(np.asarray(ids, np.int64))
+        if idx.size and (idx.min() < 0 or idx.max() >= len(self)):
+            raise IndexError("id out of range")
+        self._alive = self._alive.at[idx].set(False)
+
+    def _eligible(self, filter_mask):
+        eligible = self._alive
+        if filter_mask is not None:
+            fm = jnp.asarray(filter_mask, bool)
+            if fm.shape != (len(self),):
+                raise ValueError(
+                    f"filter_mask must be [N]={len(self)}, got {fm.shape}")
+            eligible = fm if eligible is None else (eligible & fm)
+        return eligible
+
+    def search_batch(self, queries, k: int = 10, ef: Optional[int] = None,
+                     rerank: bool = True, filter_mask=None,
+                     approx_topk: bool = False):
+        """[B, D] -> (dists [B, k], ids [B, k]); ids = input order.
+
+        ``ef`` is the rerank depth (how many scan candidates get exact
+        distances); recall@k saturates around ef = 3-4x k.
+        """
+        queries = jnp.asarray(queries, jnp.float32)
+        if queries.ndim == 1:
+            queries = queries[None]
+        ef = ef or max(4 * k, 32)
+        ef = int(min(ef, len(self)))
+        k = int(min(k, ef))
+        metric_name = self.metric_name
+        d, i = _scan_search_jit(
+            queries, self.codes, self.scales, self.norms, self.points,
+            self._eligible(filter_mask),
+            metric_name=("sqeuclidean" if metric_name == "euclidean"
+                         else metric_name),
+            ef=ef, k=k, chunk=self.chunk, rerank=rerank,
+            approx_topk=approx_topk)
+        if metric_name == "euclidean" and rerank:
+            d = jnp.sqrt(jnp.maximum(d, 0.0))
+        return d, i
+
+    def search_batch_values(self, queries, k: int = 10,
+                            ef: Optional[int] = None, filter_mask=None):
+        if self.values is None:
+            raise ValueError("this index carries no values")
+        d, i = self.search_batch(queries, k, ef, filter_mask=filter_mask)
+        idx = np.asarray(i)
+        vals = [[self.values[j] if j >= 0 else None for j in row]
+                for row in idx]
+        return d, i, vals

@@ -1,0 +1,123 @@
+"""ScanIndex (int8 MXU scan + exact rerank) correctness tests."""
+
+import numpy as np
+import pytest
+
+from instant_distance_tpu.models.brute import BruteForce
+from instant_distance_tpu.models.scan import ScanIndex
+
+
+def _recall(got, want):
+    k = want.shape[1]
+    return np.mean([
+        len(set(got[i].tolist()) & set(want[i].tolist())) / k
+        for i in range(len(got))])
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(71)
+    pts = rng.standard_normal((3000, 32)).astype(np.float32)
+    queries = rng.standard_normal((24, 32)).astype(np.float32)
+    return pts, queries
+
+
+def test_scan_matches_exact(data):
+    pts, queries = data
+    idx = ScanIndex(pts, chunk=1024)   # force multi-chunk streaming
+    d, i = idx.search_batch(queries, k=10, ef=40)
+    gt_d, gt_i = BruteForce(pts).search_batch(queries, 10)
+    rec = _recall(np.asarray(i), np.asarray(gt_i))
+    print(f"scan recall@10 = {rec}")
+    assert rec >= 0.99
+    # rerank makes reported distances exact
+    np.testing.assert_allclose(np.asarray(d)[:, 0], np.asarray(gt_d)[:, 0],
+                               rtol=1e-5)
+
+
+def test_scan_filter_is_exact(data):
+    pts, queries = data
+    idx = ScanIndex(pts, chunk=1024)
+    rng = np.random.default_rng(5)
+    mask = rng.random(len(pts)) < 0.02     # very selective: ~60 eligible
+    d, i = idx.search_batch(queries, k=5, filter_mask=mask)
+    i = np.asarray(i)
+    assert (i >= 0).all()
+    assert mask[i].all()
+    # exhaustive semantics: matches brute force over the subset exactly
+    sub = np.where(mask)[0]
+    gt_d, gt_s = BruteForce(pts[sub]).search_batch(queries, 5)
+    np.testing.assert_array_equal(i, sub[np.asarray(gt_s)])
+
+
+def test_scan_delete_and_values(data):
+    pts, queries = data
+    idx = ScanIndex(pts, values=[f"v{i}" for i in range(len(pts))])
+    d, i, vals = idx.search_batch_values(pts[:4], k=1)
+    i = np.asarray(i)
+    np.testing.assert_array_equal(i[:, 0], np.arange(4))
+    assert vals[2][0] == "v2"
+    idx.delete([0, 1, 2, 3])
+    d2, i2 = idx.search_batch(pts[:4], k=1)
+    assert not np.isin(np.asarray(i2)[:, 0], np.arange(4)).any()
+
+
+def test_scan_dot_and_cosine(data):
+    pts, queries = data
+    for metric in ("dot", "cosine"):
+        idx = ScanIndex(pts, metric=metric, chunk=1024)
+        d, i = idx.search_batch(queries, k=10, ef=40)
+        gt_d, gt_i = BruteForce(pts, metric=metric).search_batch(queries, 10)
+        rec = _recall(np.asarray(i), np.asarray(gt_i))
+        print(f"scan[{metric}] recall@10 = {rec}")
+        assert rec >= 0.95
+
+
+def test_scan_euclidean_sqrt(data):
+    pts, queries = data
+    idx = ScanIndex(pts, metric="euclidean", chunk=2048)
+    d, i = idx.search_batch(queries, k=3)
+    want = np.sqrt(((queries[0] - pts[np.asarray(i)[0, 0]]) ** 2).sum())
+    np.testing.assert_allclose(np.asarray(d)[0, 0], want, rtol=1e-5)
+
+
+def test_scan_small_and_single_query():
+    rng = np.random.default_rng(9)
+    pts = rng.random((7, 4), dtype=np.float32)
+    idx = ScanIndex(pts)
+    d, i = idx.search_batch(pts[3], k=3)     # 1-d query; k<ef>n clamps
+    assert np.asarray(i)[0, 0] == 3
+    np.testing.assert_allclose(np.asarray(d)[0, 0], 0, atol=1e-6)
+
+
+def test_sharded_scan_matches_exact():
+    import jax
+
+    from instant_distance_tpu.parallel.mesh import default_mesh
+    from instant_distance_tpu.parallel.scan import ShardedScanIndex
+
+    assert len(jax.devices()) == 8
+    rng = np.random.default_rng(77)
+    pts = rng.standard_normal((2002, 16)).astype(np.float32)  # pad tail
+    queries = rng.standard_normal((16, 16)).astype(np.float32)
+    idx = ShardedScanIndex(pts, mesh=default_mesh(8), chunk=128,
+                           values=[f"v{i}" for i in range(2002)])
+    assert len(idx) == 2002
+    d, i = idx.search_batch(queries, k=10, ef=40)
+    gt_d, gt_i = BruteForce(pts).search_batch(queries, 10)
+    rec = _recall(np.asarray(i), np.asarray(gt_i))
+    print(f"sharded scan recall@10 = {rec}")
+    assert rec >= 0.99
+    np.testing.assert_allclose(np.asarray(d)[:, 0], np.asarray(gt_d)[:, 0],
+                               rtol=1e-5)
+
+    # values / filter / delete
+    d2, i2, vals = idx.search_batch_values(pts[:4], k=1)
+    assert vals[1][0] == f"v{np.asarray(i2)[1, 0]}"
+    mask = np.ones(2002, bool)
+    mask[:4] = False
+    d3, i3 = idx.search_batch(pts[:4], k=1, filter_mask=mask)
+    assert (np.asarray(i3)[:, 0] >= 4).all()
+    idx.delete([5])
+    d4, i4 = idx.search_batch(pts[5:6], k=1)
+    assert int(np.asarray(i4)[0, 0]) != 5
