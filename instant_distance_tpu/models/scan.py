@@ -52,7 +52,7 @@ def _quantize_queries(queries):
 
 def scan_candidates(queries, codes, scales, norms, eligible, *,
                     metric_name: str, ef: int, chunk: int,
-                    approx_topk: bool = False):
+                    approx_topk: bool = False, tile: int = 0):
     """The streamed quantized scan: [B, D] queries vs [N] codes ->
     (approx dists [B, ef], ids [B, ef]) sorted by (dist, id), -1 padded.
     Shared by ScanIndex and the sharded/replicated serving wrappers
@@ -61,10 +61,24 @@ def scan_candidates(queries, codes, scales, norms, eligible, *,
     ``approx_topk`` uses the TPU-accelerated ``lax.approx_min_k`` for the
     per-chunk candidate selection (recall ~0.95+ per chunk at default
     settings; the exact rerank repairs ordering, so end recall loss is
-    tiny while large-chunk selection gets much cheaper)."""
+    tiny while large-chunk selection gets much cheaper).
+
+    ``tile`` > 1 inserts a within-tile min+argmin reduction between the
+    matmul and the top-k: each ``tile``-wide slice of the score row
+    contributes only its best candidate, so selection runs over a
+    ``tile``x smaller array (one cheap VPU reduce that XLA fuses into
+    the matmul consumer, instead of top-k over the full score matrix).
+    Recall cost: only when two of the true top-k land in the same tile
+    (P ~ k^2 * tile / 2N — negligible for tile <= 16 at N >= 1e5)."""
     b = queries.shape[0]
     n = codes.shape[0]
     chunk = min(chunk, n)
+    if tile > 1:
+        if chunk < 4 * tile:
+            tile = 0                 # pointless for tiny chunks
+        else:
+            chunk = (chunk // tile) * tile
+            ef = min(ef, chunk // tile)
     n_chunks = (n + chunk - 1) // chunk
     pad = n_chunks * chunk - n
     codes_p = jnp.pad(codes, ((0, pad), (0, 0)))
@@ -102,12 +116,20 @@ def scan_candidates(queries, codes, scales, norms, eligible, *,
             el = jax.lax.dynamic_slice_in_dim(eligible_p, i * chunk, chunk)
             ok = ok & el[None, :]
         d = jnp.where(ok, d, jnp.inf)
+        sel_ids = ids
+        if tile > 1:
+            ct = d.shape[1] // tile
+            d3 = d.reshape(b, ct, tile)
+            am = jnp.argmin(d3, axis=2)
+            d = jnp.min(d3, axis=2)                          # [B, C/L]
+            sel_ids = jnp.take_along_axis(
+                ids.reshape(b, ct, tile), am[..., None], axis=2)[..., 0]
         if approx_topk:
             md, nidx = jax.lax.approx_min_k(d, ef)
             nd = -md
         else:
             nd, nidx = jax.lax.top_k(-d, ef)
-        ni = jnp.take_along_axis(ids, nidx, axis=1)
+        ni = jnp.take_along_axis(sel_ids, nidx, axis=1)
         ni = jnp.where(jnp.isfinite(nd), ni, -1)
         cat_d = jnp.concatenate([best_d, -nd], axis=1)
         cat_i = jnp.concatenate(
@@ -134,16 +156,42 @@ def rerank_exact(queries, points, bi, metric, k: int):
 @functools.partial(
     jax.jit,
     static_argnames=("metric_name", "ef", "k", "chunk", "rerank",
-                     "approx_topk"))
+                     "approx_topk", "tile"))
 def _scan_search_jit(queries, codes, scales, norms, points, eligible, *,
                      metric_name, ef, k, chunk, rerank,
-                     approx_topk=False):
+                     approx_topk=False, tile=0):
     bd, bi = scan_candidates(queries, codes, scales, norms, eligible,
                              metric_name=metric_name, ef=ef, chunk=chunk,
-                             approx_topk=approx_topk)
+                             approx_topk=approx_topk, tile=tile)
     if not rerank:
         return bd[:, :k], bi[:, :k]
     # exact rerank: ef true f32 distances per query (HIGHEST precision)
+    return rerank_exact(queries, points, bi, resolve(metric_name), k)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric_name", "ef", "k", "lsub", "topt", "qb",
+                     "cb", "rerank", "interpret"))
+def _fused_search_jit(queries, codes_t, scales_r, norms_r, points,
+                      eligible, *, metric_name, ef, k, lsub, topt, qb,
+                      cb, rerank, interpret):
+    from ..ops.scan_kernel import fused_scan_topt
+
+    qc, qs = _quantize_queries(queries)
+    if eligible is not None:
+        npad = norms_r.shape[1] - eligible.shape[0]
+        el = jnp.pad(eligible, (0, npad))
+        norms_r = jnp.where(el[None, :], norms_r, jnp.inf)
+    od, oi = fused_scan_topt(qc, qs[:, None], codes_t, scales_r, norms_r,
+                             lsub=lsub, topt=topt, qb=qb, cb=cb,
+                             interpret=interpret)
+    md, nidx = jax.lax.approx_min_k(od, min(ef, od.shape[1]))
+    bi = jnp.take_along_axis(oi, nidx, axis=1)
+    bi = jnp.where(jnp.isfinite(md), bi, -1)
+    if not rerank:
+        bd, bi = jax.lax.sort((md, bi), dimension=1, num_keys=2)
+        return bd[:, :k], bi[:, :k]
     return rerank_exact(queries, points, bi, resolve(metric_name), k)
 
 
@@ -171,6 +219,7 @@ class ScanIndex:
         self.norms = jnp.sum(deq * deq, axis=1)     # |p_hat|^2  [N]
         self.values = None if values is None else list(values)
         self._alive = None
+        self._fused = None  # lazy transposed layout for the Pallas path
         self.config = Config(metric=metric)  # for API uniformity
 
     @classmethod
@@ -207,13 +256,34 @@ class ScanIndex:
             eligible = fm if eligible is None else (eligible & fm)
         return eligible
 
+    # -- fused Pallas path ---------------------------------------------------
+    _FUSED_QB, _FUSED_CB = 256, 4096
+
+    def _fused_arrays(self):
+        if self._fused is None:
+            n = len(self)
+            npad = (-n) % self._FUSED_CB
+            codes_t = jnp.pad(self.codes, ((0, npad), (0, 0))).T
+            scales_r = jnp.pad(self.scales, (0, npad))[None, :]
+            norms_r = jnp.pad(self.norms, (0, npad),
+                              constant_values=np.inf)[None, :]
+            self._fused = (jnp.asarray(codes_t), scales_r, norms_r)
+        return self._fused
+
     def search_batch(self, queries, k: int = 10, ef: Optional[int] = None,
                      rerank: bool = True, filter_mask=None,
-                     approx_topk: bool = False):
+                     approx_topk: bool = False, tile: int = 0,
+                     fused: bool = False, topt: int = 8, lsub: int = 16):
         """[B, D] -> (dists [B, k], ids [B, k]); ids = input order.
 
         ``ef`` is the rerank depth (how many scan candidates get exact
         distances); recall@k saturates around ef = 3-4x k.
+
+        ``fused=True`` routes through the Pallas fused-scan kernel
+        (ops/scan_kernel.py): the MXU matmul and candidate selection run
+        in one kernel, so the score matrix never reaches HBM — the
+        fastest path for sqeuclidean/euclidean on TPU.  ``topt``/``lsub``
+        are its per-block candidate count and stride-group width.
         """
         queries = jnp.asarray(queries, jnp.float32)
         if queries.ndim == 1:
@@ -222,13 +292,32 @@ class ScanIndex:
         ef = int(min(ef, len(self)))
         k = int(min(k, ef))
         metric_name = self.metric_name
-        d, i = _scan_search_jit(
-            queries, self.codes, self.scales, self.norms, self.points,
-            self._eligible(filter_mask),
-            metric_name=("sqeuclidean" if metric_name == "euclidean"
-                         else metric_name),
-            ef=ef, k=k, chunk=self.chunk, rerank=rerank,
-            approx_topk=approx_topk)
+        if fused and metric_name in ("sqeuclidean", "euclidean") \
+                and len(self) >= self._FUSED_CB:
+            b = queries.shape[0]
+            pad = (-b) % self._FUSED_QB
+            q = (jnp.concatenate(
+                 [queries, jnp.broadcast_to(queries[:1],
+                                            (pad, queries.shape[1]))])
+                 if pad else queries)
+            codes_t, scales_r, norms_r = self._fused_arrays()
+            d, i = _fused_search_jit(
+                q, codes_t, scales_r, norms_r, self.points,
+                self._eligible(filter_mask),
+                metric_name="sqeuclidean", ef=ef, k=k, lsub=lsub,
+                topt=topt, qb=self._FUSED_QB, cb=self._FUSED_CB,
+                rerank=rerank,
+                interpret=jax.default_backend() == "cpu")
+            if pad:
+                d, i = d[:b], i[:b]
+        else:
+            d, i = _scan_search_jit(
+                queries, self.codes, self.scales, self.norms, self.points,
+                self._eligible(filter_mask),
+                metric_name=("sqeuclidean" if metric_name == "euclidean"
+                             else metric_name),
+                ef=ef, k=k, chunk=self.chunk, rerank=rerank,
+                approx_topk=approx_topk, tile=tile)
         if metric_name == "euclidean" and rerank:
             d = jnp.sqrt(jnp.maximum(d, 0.0))
         return d, i

@@ -121,3 +121,24 @@ def test_sharded_scan_matches_exact():
     idx.delete([5])
     d4, i4 = idx.search_batch(pts[5:6], k=1)
     assert int(np.asarray(i4)[0, 0]) != 5
+
+
+def test_fused_scan_kernel_interpret():
+    """Pallas fused scan (interpret mode on CPU): matches brute force."""
+    rng = np.random.default_rng(83)
+    pts = rng.standard_normal((8192, 128)).astype(np.float32)
+    q = rng.standard_normal((256, 128)).astype(np.float32)
+    idx = ScanIndex(pts)
+    d, i = idx.search_batch(q[:32], k=5, ef=16, fused=True)
+    gt_d, gt_i = BruteForce(pts).search_batch(q[:32], 5)
+    rec = _recall(np.asarray(i), np.asarray(gt_i))
+    print(f"fused recall@5 = {rec}")
+    assert rec >= 0.95
+    np.testing.assert_allclose(np.asarray(d)[:, 0],
+                               np.asarray(gt_d)[:, 0], rtol=1e-5)
+    # filter flows through the fused path (norms -> +inf masking)
+    mask = np.zeros(8192, bool)
+    mask[::2] = True
+    d2, i2 = idx.search_batch(q[:32], k=5, fused=True, filter_mask=mask)
+    i2 = np.asarray(i2)
+    assert mask[i2[i2 >= 0]].all()
