@@ -114,7 +114,11 @@ class Hnsw:
     """
 
     def __init__(self, points, zero, layers, config: Config, alive=None):
-        self.points = jnp.asarray(points, jnp.float32)
+        # Storage dtype is configurable (Config.dtype: "float32" or
+        # "bfloat16" — halves HBM for the point table); every distance
+        # is still evaluated in f32 (ops/distance.py upcasts at the
+        # metric boundary).
+        self.points = jnp.asarray(points, jnp.dtype(config.dtype))
         self.zero = jnp.asarray(zero, jnp.int32)
         self.layers = [jnp.asarray(l, jnp.int32) for l in layers]
         self.config = config
@@ -173,7 +177,8 @@ class Hnsw:
         pts, zero, adjd = extend_graph(
             self.points, self.zero, self.layers, new_pts, self.config,
             adjd=self._adjd, progress=progress)
-        self.points, self.zero, self._adjd = pts, zero, adjd
+        self.points = pts.astype(jnp.dtype(self.config.dtype))
+        self.zero, self._adjd = zero, adjd
         if self._alive is not None:
             self._alive = jnp.concatenate(
                 [self._alive, jnp.ones(len(new_pts), bool)])

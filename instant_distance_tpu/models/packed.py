@@ -132,3 +132,57 @@ class PackedHnsw:
         vals = [[self.values[pid] if pid >= 0 else None for pid in row]
                 for row in pn]
         return d, p, vals
+
+    # -- persistence ---------------------------------------------------------
+    def dump(self, fname: str) -> None:
+        """Save the compiled serving form (packed layers + f32 points
+        for the exact rerank) as one npz — so serving processes skip
+        both the graph build and the packing pass."""
+        import dataclasses
+        import json
+
+        cfgd = dataclasses.asdict(self.config)
+        if not isinstance(cfgd.get("metric"), str):
+            cfgd["metric"] = "custom"
+        arrays = dict(
+            magic=np.array("instant-distance-tpu/packed/v1"),
+            config=np.array(json.dumps(cfgd)),
+            n_upper=np.array(len(self.upper_packs), np.int64),
+            points=np.asarray(self.points, np.float32),
+        )
+        for name, pack in (("zero", self.zero_pack),
+                           *((f"u{i}", p)
+                             for i, p in enumerate(self.upper_packs))):
+            ids, codes, scales = pack
+            arrays[f"{name}_ids"] = np.asarray(ids)
+            arrays[f"{name}_codes"] = np.asarray(codes)
+            arrays[f"{name}_scales"] = np.asarray(scales)
+        if self.values is not None:
+            arrays["values"] = np.array(json.dumps(list(self.values)))
+        if self._alive is not None:
+            arrays["alive"] = np.asarray(self._alive, bool)
+        with open(fname, "wb") as f:
+            np.savez(f, **arrays)
+
+    @classmethod
+    def load(cls, fname: str) -> "PackedHnsw":
+        import json
+
+        from ..utils.serialize import _config_from_json
+
+        with np.load(fname, allow_pickle=False) as z:
+            if str(z["magic"]) != "instant-distance-tpu/packed/v1":
+                raise ValueError(f"{fname}: not a PackedHnsw dump")
+            cfg = _config_from_json(str(z["config"]))
+
+            def pack(name):
+                return tuple(jnp.asarray(z[f"{name}_{part}"])
+                             for part in ("ids", "codes", "scales"))
+
+            uppers = tuple(pack(f"u{i}")
+                           for i in range(int(z["n_upper"])))
+            values = (json.loads(str(z["values"]))
+                      if "values" in z.files else None)
+            alive = z["alive"] if "alive" in z.files else None
+            return cls(jnp.asarray(z["points"]), pack("zero"), uppers,
+                       cfg, values=values, alive=alive)

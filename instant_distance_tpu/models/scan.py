@@ -172,20 +172,25 @@ def _scan_search_jit(queries, codes, scales, norms, points, eligible, *,
 @functools.partial(
     jax.jit,
     static_argnames=("metric_name", "ef", "k", "lsub", "topt", "qb",
-                     "cb", "rerank", "interpret"))
+                     "cb", "rerank", "interpret", "mode"))
 def _fused_search_jit(queries, codes_t, scales_r, norms_r, points,
                       eligible, *, metric_name, ef, k, lsub, topt, qb,
-                      cb, rerank, interpret):
-    from ..ops.scan_kernel import fused_scan_topt
+                      cb, rerank, interpret, mode="topt"):
+    from ..ops.scan_kernel import fused_scan_bucket, fused_scan_topt
 
     qc, qs = _quantize_queries(queries)
     if eligible is not None:
         npad = norms_r.shape[1] - eligible.shape[0]
         el = jnp.pad(eligible, (0, npad))
         norms_r = jnp.where(el[None, :], norms_r, jnp.inf)
-    od, oi = fused_scan_topt(qc, qs[:, None], codes_t, scales_r, norms_r,
-                             lsub=lsub, topt=topt, qb=qb, cb=cb,
-                             interpret=interpret)
+    if mode == "bucket":
+        od, oi = fused_scan_bucket(qc, qs[:, None], codes_t, scales_r,
+                                   norms_r, lsub=lsub, qb=qb, cb=cb,
+                                   interpret=interpret)
+    else:
+        od, oi = fused_scan_topt(qc, qs[:, None], codes_t, scales_r,
+                                 norms_r, lsub=lsub, topt=topt, qb=qb,
+                                 cb=cb, interpret=interpret)
     md, nidx = jax.lax.approx_min_k(od, min(ef, od.shape[1]))
     bi = jnp.take_along_axis(oi, nidx, axis=1)
     bi = jnp.where(jnp.isfinite(md), bi, -1)
@@ -259,31 +264,35 @@ class ScanIndex:
     # -- fused Pallas path ---------------------------------------------------
     _FUSED_QB, _FUSED_CB = 256, 4096
 
-    def _fused_arrays(self):
-        if self._fused is None:
+    def _fused_arrays(self, cb: int):
+        if self._fused is None or self._fused[0] != cb:
             n = len(self)
-            npad = (-n) % self._FUSED_CB
+            npad = (-n) % cb
             codes_t = jnp.pad(self.codes, ((0, npad), (0, 0))).T
             scales_r = jnp.pad(self.scales, (0, npad))[None, :]
             norms_r = jnp.pad(self.norms, (0, npad),
                               constant_values=np.inf)[None, :]
-            self._fused = (jnp.asarray(codes_t), scales_r, norms_r)
-        return self._fused
+            self._fused = (cb, jnp.asarray(codes_t), scales_r, norms_r)
+        return self._fused[1:]
 
     def search_batch(self, queries, k: int = 10, ef: Optional[int] = None,
                      rerank: bool = True, filter_mask=None,
                      approx_topk: bool = False, tile: int = 0,
-                     fused: bool = False, topt: int = 8, lsub: int = 16):
+                     fused=False, topt: int = 8, lsub: int = 16,
+                     qb: int = 0, cb: int = 0):
         """[B, D] -> (dists [B, k], ids [B, k]); ids = input order.
 
         ``ef`` is the rerank depth (how many scan candidates get exact
         distances); recall@k saturates around ef = 3-4x k.
 
-        ``fused=True`` routes through the Pallas fused-scan kernel
-        (ops/scan_kernel.py): the MXU matmul and candidate selection run
-        in one kernel, so the score matrix never reaches HBM — the
-        fastest path for sqeuclidean/euclidean on TPU.  ``topt``/``lsub``
-        are its per-block candidate count and stride-group width.
+        ``fused=True``/``"topt"``/``"bucket"`` routes through the Pallas
+        fused-scan kernel (ops/scan_kernel.py): the MXU matmul and
+        candidate selection run in one kernel, so the score matrix never
+        reaches HBM — the fastest path for sqeuclidean/euclidean on TPU.
+        ``"bucket"`` emits all stride-group minima and does the top-ef
+        in XLA (cheapest kernel); ``topt``/``lsub`` are the per-block
+        candidate count and stride-group width, ``qb``/``cb`` override
+        the kernel's query/point block sizes.
         """
         queries = jnp.asarray(queries, jnp.float32)
         if queries.ndim == 1:
@@ -292,21 +301,23 @@ class ScanIndex:
         ef = int(min(ef, len(self)))
         k = int(min(k, ef))
         metric_name = self.metric_name
+        cb = cb or self._FUSED_CB
         if fused and metric_name in ("sqeuclidean", "euclidean") \
-                and len(self) >= self._FUSED_CB:
+                and len(self) >= cb:
+            mode = fused if isinstance(fused, str) else "topt"
+            qb = qb or self._FUSED_QB
             b = queries.shape[0]
-            pad = (-b) % self._FUSED_QB
+            pad = (-b) % qb
             q = (jnp.concatenate(
                  [queries, jnp.broadcast_to(queries[:1],
                                             (pad, queries.shape[1]))])
                  if pad else queries)
-            codes_t, scales_r, norms_r = self._fused_arrays()
+            codes_t, scales_r, norms_r = self._fused_arrays(cb)
             d, i = _fused_search_jit(
                 q, codes_t, scales_r, norms_r, self.points,
                 self._eligible(filter_mask),
                 metric_name="sqeuclidean", ef=ef, k=k, lsub=lsub,
-                topt=topt, qb=self._FUSED_QB, cb=self._FUSED_CB,
-                rerank=rerank,
+                topt=topt, qb=qb, cb=cb, rerank=rerank, mode=mode,
                 interpret=jax.default_backend() == "cpu")
             if pad:
                 d, i = d[:b], i[:b]
@@ -331,3 +342,47 @@ class ScanIndex:
         vals = [[self.values[j] if j >= 0 else None for j in row]
                 for row in idx]
         return d, i, vals
+
+    # -- persistence ---------------------------------------------------------
+    def dump(self, fname: str) -> None:
+        """Save the serving arrays (codes/scales/norms + f32 points for
+        the exact rerank) as one npz."""
+        import json
+
+        arrays = dict(
+            magic=np.array("instant-distance-tpu/scan/v1"),
+            metric=np.array(self.metric_name),
+            chunk=np.array(self.chunk, np.int64),
+            points=np.asarray(self.points, np.float32),
+            codes=np.asarray(self.codes),
+            scales=np.asarray(self.scales),
+            norms=np.asarray(self.norms),
+        )
+        if self.values is not None:
+            arrays["values"] = np.array(json.dumps(list(self.values)))
+        if self._alive is not None:
+            arrays["alive"] = np.asarray(self._alive, bool)
+        with open(fname, "wb") as f:
+            np.savez(f, **arrays)
+
+    @classmethod
+    def load(cls, fname: str) -> "ScanIndex":
+        import json
+
+        with np.load(fname, allow_pickle=False) as z:
+            if str(z["magic"]) != "instant-distance-tpu/scan/v1":
+                raise ValueError(f"{fname}: not a ScanIndex dump")
+            obj = cls.__new__(cls)
+            obj.metric_name = str(z["metric"])
+            obj.chunk = int(z["chunk"])
+            obj.points = jnp.asarray(z["points"])
+            obj.codes = jnp.asarray(z["codes"])
+            obj.scales = jnp.asarray(z["scales"])
+            obj.norms = jnp.asarray(z["norms"])
+            obj.values = (json.loads(str(z["values"]))
+                          if "values" in z.files else None)
+            obj._alive = (jnp.asarray(z["alive"])
+                          if "alive" in z.files else None)
+            obj._fused = None
+            obj.config = Config(metric=obj.metric_name)
+            return obj

@@ -24,6 +24,15 @@ import jax.numpy as jnp
 MetricLike = Union[str, Callable]
 
 
+def _f32(x):
+    """Upcast storage dtypes (bfloat16 point arrays) to f32 at the
+    metric boundary: distances are always evaluated in full f32 — the
+    MXU's bf16 input rounding corrupts near-neighbor ordering (see
+    ``Metric.pairwise``), and VPU diff-square in bf16 is no cheaper."""
+    x = jnp.asarray(x)
+    return x.astype(jnp.float32) if x.dtype != jnp.float32 else x
+
+
 def _sqeuclidean(a, b):
     d = a - b
     return jnp.sum(d * d, axis=-1)
@@ -81,10 +90,11 @@ class Metric:
 
     # -- single pair -------------------------------------------------------
     def one(self, a, b):
-        return self.fn(a, b)
+        return self.fn(_f32(a), _f32(b))
 
     # -- gathered candidates: q [B, D] vs p [B, K, D] -> [B, K] ------------
     def gathered(self, q, p):
+        q, p = _f32(q), _f32(p)
         if self._broadcasts:
             return self.fn(q[:, None, :], p)
         f = jax.vmap(jax.vmap(self.fn, in_axes=(None, 0)), in_axes=(0, 0))
@@ -92,6 +102,7 @@ class Metric:
 
     # -- all pairs: q [B, D] vs p [N, D] -> [B, N] -------------------------
     def pairwise(self, q, p):
+        q, p = _f32(q), _f32(p)
         if self.matmul_form:
             qn = jnp.sum(q * q, axis=-1)  # [B]
             pn = jnp.sum(p * p, axis=-1)  # [N]
@@ -115,6 +126,7 @@ class Metric:
 
     # -- pairwise among gathered sets: p [B, C, D] -> [B, C, C] ------------
     def self_pairwise(self, p):
+        p = _f32(p)
         if self.matmul_form:
             n = jnp.sum(p * p, axis=-1)  # [B, C]
             cross = jnp.einsum(

@@ -32,6 +32,9 @@ _I32MAX = jnp.iinfo(jnp.int32).max
 
 def quantize_points(points):
     """Per-point symmetric int8: v ~= scale * code (max-abs scaling)."""
+    points = jnp.asarray(points)
+    if points.dtype != jnp.float32:   # bf16-stored indices quantize via f32
+        points = points.astype(jnp.float32)
     amax = jnp.max(jnp.abs(points), axis=-1)
     scale = jnp.maximum(amax, 1e-30) / 127.0
     codes = jnp.clip(jnp.round(points / scale[..., None]), -127, 127)

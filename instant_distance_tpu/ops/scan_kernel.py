@@ -38,6 +38,95 @@ from jax.experimental.pallas import tpu as pltpu
 _I32MAX = np.iinfo(np.int32).max
 
 
+def _bucket_scan_kernel(qc_ref, qs_ref, codes_ref, sc_ref, no_ref,
+                        od_ref, oi_ref, *, lsub: int, is_dot: bool):
+    """Bucket-min variant: no in-kernel top-T extraction.
+
+    The top-T loop in ``_fused_scan_kernel`` costs ``topt`` cross-lane
+    min-reductions plus full-width wheres per grid cell — measured to
+    dominate the cell time (the matmul itself is ~1 us).  Here the cell
+    emits ALL ``cb/lsub`` stride-group minima (values + argmin ids);
+    every VPU op stays lane-local elementwise, and the global top-ef
+    runs once in XLA over the (lsub x smaller) candidate array.
+    """
+    dot = jax.lax.dot_general(
+        qc_ref[:], codes_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)                  # [QB, CB]
+    qs = qs_ref[:]                                         # [QB, 1]
+    sc = sc_ref[:]                                         # [1, CB]
+    prod = (qs * sc) * dot.astype(jnp.float32)
+    dist = -prod if is_dot else no_ref[:] - 2.0 * prod     # [QB, CB]
+
+    qb, cb = dist.shape
+    ct = cb // lsub
+    # strided group-min: groups are {j, ct+j, 2ct+j, ...} — contiguous
+    # [QB, ct] slabs, elementwise min with zero relayout
+    m = dist[:, :ct]
+    am = jnp.zeros((qb, ct), jnp.int32)
+    for t in range(1, lsub):
+        blk = dist[:, t * ct:(t + 1) * ct]
+        upd = blk < m
+        am = jnp.where(upd, t, am)
+        m = jnp.minimum(m, blk)
+    base = pl.program_id(0) * cb
+    col = jax.lax.broadcasted_iota(jnp.int32, (qb, ct), 1)
+    od_ref[:, :] = m
+    oi_ref[:, :] = jnp.where(jnp.isfinite(m),
+                             base + am * ct + col, -1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("lsub", "qb", "cb", "is_dot", "interpret"))
+def fused_scan_bucket(qc, qs, codes_t, scales, norms, *, lsub: int = 16,
+                      qb: int = 256, cb: int = 4096,
+                      is_dot: bool = False, interpret: bool = False):
+    """Fused scan, bucket-min form: returns per-stride-group minima.
+
+    Same arguments as :func:`fused_scan_topt`; returns
+    ``(dists [B, N/lsub], ids [B, N/lsub])`` laid out block-major along
+    the candidate axis (no transpose needed — the out spec writes
+    [B, nc*ct] directly).  A true neighbor is lost only when a nearer
+    point shares its lsub-wide stride group (P ~ k*lsub/cb per pair).
+    """
+    b, d = qc.shape
+    n = codes_t.shape[1]
+    assert b % qb == 0 and n % cb == 0 and cb % lsub == 0
+    nc = n // cb
+    ct = cb // lsub
+    grid = (nc, b // qb)  # query blocks innermost: codes block is reused
+
+    kernel = functools.partial(_bucket_scan_kernel, lsub=lsub,
+                               is_dot=is_dot)
+    od, oi = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((qb, d), lambda ic, iq: (iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qb, 1), lambda ic, iq: (iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, cb), lambda ic, iq: (0, ic),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cb), lambda ic, iq: (0, ic),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cb), lambda ic, iq: (0, ic),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((qb, ct), lambda ic, iq: (iq, ic),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qb, ct), lambda ic, iq: (iq, ic),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, nc * ct), jnp.float32),
+            jax.ShapeDtypeStruct((b, nc * ct), jnp.int32),
+        ],
+        interpret=interpret,
+    )(qc, qs, codes_t, scales, norms)
+    return od, oi
+
+
 def _fused_scan_kernel(qc_ref, qs_ref, codes_ref, sc_ref, no_ref,
                        od_ref, oi_ref, *, lsub: int, topt: int,
                        is_dot: bool):

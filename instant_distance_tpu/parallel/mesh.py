@@ -28,3 +28,33 @@ def default_mesh(n_devices: Optional[int] = None,
         devices = devices[:n_devices]
     return jax.make_mesh((len(devices),), (SHARD_AXIS,),
                          devices=list(devices))
+
+
+_distributed_initialized = False
+
+
+def distributed_mesh(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> Mesh:
+    """Multi-host mesh: initialize ``jax.distributed`` (idempotent) and
+    return a 1-D mesh over ALL devices of all hosts.
+
+    On Cloud TPU pods the three arguments are auto-detected from the
+    environment; pass them explicitly elsewhere.  Each host then runs
+    the same program (single-controller SPMD): sharded index classes
+    place one shard per global device, and their ``all_gather`` merges
+    ride ICI/DCN exactly as on one host.  Per-host data feeding for
+    builds larger than one host's RAM should construct the [S, n_s, ...]
+    arrays with ``jax.make_array_from_process_local_data`` — the shard
+    axis layout used by Sharded* classes is already global-device-major,
+    so no relayout is needed.
+    """
+    global _distributed_initialized
+    if not _distributed_initialized and jax.process_count() == 1:
+        try:
+            jax.distributed.initialize(coordinator_address, num_processes,
+                                       process_id)
+        except (RuntimeError, ValueError):
+            pass  # already initialized or single-process run
+        _distributed_initialized = True
+    return default_mesh()

@@ -27,6 +27,15 @@ import jax  # noqa: E402
 if _platform == "cpu":
     jax.config.update("jax_platforms", "cpu")
 
-# Persistent compilation cache: wave-step programs are reused across runs.
+# Persistent compilation cache: READ-only for tests by default.  Cache
+# writes call executable.serialize(), which has segfaulted on this box's
+# CPU backend (faulthandler trace into put_executable_and_time killed a
+# full suite run); the huge write threshold keeps reads enabled while
+# never serializing.  To (re)populate the cache, run the suite with
+# INSTANT_TPU_TEST_CACHE_WRITES=1 — a crash kills only that run, and
+# already-written entries are *read* next time (no write attempt), so
+# repeated populate runs converge on a warm cache.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update(
+    "jax_persistent_cache_min_compile_time_secs",
+    2.0 if os.environ.get("INSTANT_TPU_TEST_CACHE_WRITES") else 1e9)

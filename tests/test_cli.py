@@ -43,3 +43,34 @@ def test_cli_convert_roundtrip(tmp_path, capsys):
     info = json.loads(capsys.readouterr().out)
     assert info["points"] == 300
     assert main(["validate", bin_path, "--dims", "12"]) == 0
+
+
+def test_cli_build_search(tmp_path, capsys):
+    rng = np.random.default_rng(73)
+    pts = rng.random((256, 12), dtype=np.float32)
+    vec_path = str(tmp_path / "vecs.npy")
+    np.save(vec_path, pts)
+    vals_path = str(tmp_path / "vals.json")
+    with open(vals_path, "w") as f:
+        json.dump([f"w{i}" for i in range(256)], f)
+    idx_path = str(tmp_path / "built.npz")
+
+    assert main(["build", vec_path, idx_path, "--seed", "73",
+                 "--ef-construction", "32", "--values", vals_path]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["points"] == 256 and rep["format"] == "native"
+
+    q_path = str(tmp_path / "q.npy")
+    np.save(q_path, pts[:3])
+    assert main(["search", idx_path, q_path, "--k", "2"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 3
+    row = json.loads(lines[0])
+    assert row["values"][0] == "w0" and row["distances"][0] < 1e-5
+
+    # bincode output from the build command (extension-dispatched)
+    bin_path = str(tmp_path / "built.bin")
+    assert main(["build", vec_path, bin_path, "--seed", "73",
+                 "--ef-construction", "32"]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["format"] == "bincode"

@@ -31,3 +31,10 @@ def test_translate_example(tmp_path, capsys, monkeypatch):
     runpy.run_path(os.path.join(_EXAMPLES, "translate.py"),
                    run_name="__main__")
     assert "word9" in capsys.readouterr().out
+
+
+def test_filtered_serving_example(capsys):
+    runpy.run_path(os.path.join(_EXAMPLES, "filtered_serving.py"),
+                   run_name="__main__")
+    out = capsys.readouterr().out
+    assert "category-0 only:" in out and "after delete:" in out

@@ -27,7 +27,7 @@ def _recall(got, want):
 @pytest.fixture(scope="module")
 def built():
     rng = np.random.default_rng(101)
-    pts = rng.random((1500, 8), dtype=np.float32)
+    pts = rng.random((1000, 8), dtype=np.float32)
     cfg = Config(seed=101, ef_search=64)
     index, ids = Hnsw.build(pts, cfg)
     queries = rng.random((16, 8), dtype=np.float32)
@@ -105,12 +105,12 @@ def test_delete_persists_roundtrip(tmp_path, built):
 
 def test_incremental_add_recall():
     rng = np.random.default_rng(11)
-    pts = rng.random((1600, 8), dtype=np.float32)
+    pts = rng.random((1000, 8), dtype=np.float32)
     cfg = Config(seed=11, ef_search=64)
-    index, ids = Hnsw.build(pts[:800], cfg)
-    new_pids = index.add(pts[800:])
-    assert len(index) == 1600
-    np.testing.assert_array_equal(new_pids, np.arange(800, 1600))
+    index, ids = Hnsw.build(pts[:500], cfg)
+    new_pids = index.add(pts[500:])
+    assert len(index) == 1000
+    np.testing.assert_array_equal(new_pids, np.arange(500, 1000))
 
     queries = rng.random((16, 8), dtype=np.float32)
     d, p = index.search_batch(queries, k=10)
@@ -121,23 +121,23 @@ def test_incremental_add_recall():
     print(f"post-add recall@10 = {rec}")
     assert rec >= 0.9
     # the incrementally added points themselves are findable
-    d2, p2 = index.search_batch(pts[800:816], k=1)
-    assert (np.asarray(p2)[:, 0] == np.arange(800, 816)).mean() >= 0.9
+    d2, p2 = index.search_batch(pts[500:516], k=1)
+    assert (np.asarray(p2)[:, 0] == np.arange(500, 516)).mean() >= 0.9
 
 
 def test_add_multiple_rounds_and_delete():
     rng = np.random.default_rng(13)
-    pts = rng.random((900, 8), dtype=np.float32)
+    pts = rng.random((600, 8), dtype=np.float32)
     cfg = Config(seed=13, ef_search=48, wave_size=128)
-    index, ids = Hnsw.build(pts[:300], cfg)
-    index.add(pts[300:600])
+    index, ids = Hnsw.build(pts[:200], cfg)
+    index.add(pts[200:400])
     index.delete([0, 1])
-    index.add(pts[600:])           # add after delete keeps mask aligned
-    assert len(index) == 900
-    assert index._alive.shape == (900,)
+    index.add(pts[400:])           # add after delete keeps mask aligned
+    assert len(index) == 600
+    assert index._alive.shape == (600,)
     assert index.n_deleted == 2
-    d, p = index.search_batch(pts[600:608], k=1, ef=32)
-    assert (np.asarray(p)[:, 0] == np.arange(600, 608)).mean() >= 0.9
+    d, p = index.search_batch(pts[400:408], k=1, ef=32)
+    assert (np.asarray(p)[:, 0] == np.arange(400, 408)).mean() >= 0.9
 
 
 def test_hnswmap_add_values():
@@ -176,3 +176,34 @@ def test_packed_values_filter_delete():
     packed.delete([self_pid])
     d3, p3 = packed.search_batch(q, k=1)
     assert int(np.asarray(p3)[0, 0]) != self_pid
+
+
+def test_bfloat16_point_storage():
+    """Config.dtype='bfloat16' halves point-table HBM; distances stay
+    f32 (upcast at the metric boundary) so recall holds."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(23)
+    pts = rng.random((1000, 16), dtype=np.float32)
+    cfg = Config(seed=23, ef_search=48, dtype="bfloat16")
+    index, ids = Hnsw.build(pts, cfg)
+    assert index.points.dtype == jnp.bfloat16
+
+    queries = rng.random((16, 16), dtype=np.float32)
+    gt_d, gt_i = BruteForce(pts).search_batch(queries, 10)
+    gt_pids = ids[np.asarray(gt_i)]
+    d, p = index.search_batch(queries, k=10)
+    rec = _recall(np.asarray(p), gt_pids)
+    print(f"bf16-storage recall@10 = {rec}")
+    assert rec >= 0.9
+    # reported distances are computed from the bf16-stored vectors in
+    # f32: close to the true distance at bf16 resolution
+    true_d = ((queries[0] - pts[ids == p[0, 0]][0]) ** 2).sum()
+    np.testing.assert_allclose(np.asarray(d)[0, 0], true_d,
+                               rtol=3e-2, atol=1e-4)
+    # round-trips through native dump/load keeping the configured dtype
+    import tempfile, os
+    f = os.path.join(tempfile.mkdtemp(), "bf16.idx")
+    index.dump(f)
+    back = Hnsw.load(f)
+    assert back.points.dtype == jnp.bfloat16

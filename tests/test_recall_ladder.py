@@ -21,10 +21,10 @@ from instant_distance_tpu.utils.datasets import CONFIGS, synthetic_clustered
 #: via bench.py / the CLI; shape and clustering match BASELINE.md).
 _LADDER = {
     "rgb": dict(n=256, clusters=16),
-    "fasttext": dict(n=2000, clusters=50),
-    "sift1m": dict(n=2000, clusters=50),
-    "gist1m": dict(n=1000, clusters=25),
-    "deep10m": dict(n=2000, clusters=50),
+    "fasttext": dict(n=1200, clusters=40),
+    "sift1m": dict(n=1200, clusters=40),
+    "gist1m": dict(n=600, clusters=20),
+    "deep10m": dict(n=1200, clusters=40),
 }
 
 _N_QUERIES, _K = 16, 10
@@ -38,7 +38,8 @@ def test_ladder_recall_floor(name):
     pts = synthetic_clustered(n + _N_QUERIES, dim,
                               n_clusters=spec["clusters"], seed=97)
     data, queries = pts[:n], pts[n:]
-    cfg = Config(seed=97, ef_search=64, wave_size=512)
+    cfg = Config(seed=97, ef_search=64, ef_construction=64,
+                 wave_size=512)
     index, ids = Hnsw.build(data, cfg)
 
     gt_d, gt_i = BruteForce(data).search_batch(queries, _K)

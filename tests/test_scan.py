@@ -142,3 +142,23 @@ def test_fused_scan_kernel_interpret():
     d2, i2 = idx.search_batch(q[:32], k=5, fused=True, filter_mask=mask)
     i2 = np.asarray(i2)
     assert mask[i2[i2 >= 0]].all()
+
+
+def test_fused_scan_bucket_interpret():
+    """Bucket-mode fused scan (interpret on CPU): matches brute force."""
+    rng = np.random.default_rng(89)
+    pts = rng.standard_normal((8192, 128)).astype(np.float32)
+    q = rng.standard_normal((32, 128)).astype(np.float32)
+    idx = ScanIndex(pts)
+    d, i = idx.search_batch(q, k=5, ef=16, fused="bucket", lsub=16)
+    gt_d, gt_i = BruteForce(pts).search_batch(q, 5)
+    rec = _recall(np.asarray(i), np.asarray(gt_i))
+    print(f"bucket recall@5 = {rec}")
+    assert rec >= 0.95
+    np.testing.assert_allclose(np.asarray(d)[:, 0],
+                               np.asarray(gt_d)[:, 0], rtol=1e-5)
+    mask = np.zeros(8192, bool)
+    mask[::2] = True
+    d2, i2 = idx.search_batch(q, k=5, fused="bucket", filter_mask=mask)
+    i2 = np.asarray(i2)
+    assert mask[i2[i2 >= 0]].all()

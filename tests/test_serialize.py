@@ -96,3 +96,43 @@ def test_auto_format_detect(small_map, tmp_path):
     small_map.dump(f2, format="bincode")
     assert isinstance(serialize.load(f1), HnswMap)
     assert isinstance(serialize.load(f2, dims=12), HnswMap)
+
+
+def test_packed_dump_load_roundtrip(tmp_path):
+    from instant_distance_tpu.models.hnsw import HnswMap
+    from instant_distance_tpu.models.packed import PackedHnsw
+
+    rng = np.random.default_rng(67)
+    pts = rng.random((400, 8), dtype=np.float32)
+    cfg = Config(seed=67, ef_search=32)
+    hmap = HnswMap.build(pts, [f"v{i}" for i in range(400)], cfg)
+    packed = PackedHnsw.from_index(hmap)
+    packed.delete([11])
+    f = str(tmp_path / "p.npz")
+    packed.dump(f)
+    back = PackedHnsw.load(f)
+    assert back.values == packed.values
+    q = pts[:8]
+    d0, p0 = packed.search_batch(q, k=3)
+    d1, p1 = back.search_batch(q, k=3)
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1))
+    assert not (np.asarray(p1) == 11).any()
+
+
+def test_scan_dump_load_roundtrip(tmp_path):
+    from instant_distance_tpu.models.scan import ScanIndex
+
+    rng = np.random.default_rng(69)
+    pts = rng.standard_normal((500, 16)).astype(np.float32)
+    idx = ScanIndex(pts, values=[f"v{i}" for i in range(500)])
+    idx.delete([42])
+    f = str(tmp_path / "s.npz")
+    idx.dump(f)
+    back = ScanIndex.load(f)
+    assert back.values == idx.values and back.metric_name == "sqeuclidean"
+    q = pts[:8]
+    d0, i0 = idx.search_batch(q, k=3)
+    d1, i1 = back.search_batch(q, k=3)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    assert not (np.asarray(i1) == 42).any()
