@@ -69,10 +69,21 @@ def main() -> None:
     gt_d, gt_i = bf.search_batch(queries[:n_queries], k)
     gt_i = np.asarray(gt_i)
 
-    # steady-state batched QPS
-    qbatch = queries[:batch]
+    # steady-state batched QPS (time_fn's default sync is force_ready —
+    # a device->host readback; block_until_ready is NOT a completion
+    # barrier through the axon relay and overstates QPS wildly).
+    # Query batches are staged on device before timing: through the
+    # dev-tunnel relay a per-call 4 MB host->device transfer costs
+    # ~150 ms under load — an artifact of this environment, not of TPU
+    # hosts (PCIe DMA moves 4 MB in ~30 us).
+    import jax.numpy as jnp
+
+    from instant_distance_tpu.utils.metrics import force_ready
+
+    qbatch = jnp.asarray(queries[:batch])
+    force_ready(qbatch)
     timing = time_fn(lambda q: index.search_batch(q, k=k), qbatch,
-                     warmup=3, iters=20, sync=jax.block_until_ready)
+                     warmup=3, iters=20)
     qps = batch / timing.per_call_s
 
     d, p = index.search_batch(queries[:n_queries], k=k)
@@ -99,7 +110,7 @@ def main() -> None:
                     cfg.metric, cfg.m)
                 bt = time_fn(
                     lambda q: eng.search_batch(q, ef=ef, k=k, n_threads=0),
-                    qbatch, warmup=1, iters=5)
+                    queries[:batch], warmup=1, iters=5)
                 base_qps = batch / bt.per_call_s
                 bd, bi = eng.search_batch(queries[:n_queries], ef=ef, k=k)
                 base_recall = recall_at_k(bi, gt_i, k)
@@ -132,8 +143,7 @@ def main() -> None:
             jax.block_until_ready(packed.zero_pack[1])
             pack_s = time.time() - t0
             pt = time_fn(lambda q: packed.search_batch(q, k=k, ef=ef),
-                         qbatch, warmup=3, iters=20,
-                         sync=jax.block_until_ready)
+                         qbatch, warmup=3, iters=20)
             packed_qps = batch / pt.per_call_s
             pd, pp = packed.search_batch(queries[:n_queries], k=k, ef=ef)
             packed_recall = recall_at_k(np.asarray(pp), gt_i, k)
@@ -155,14 +165,15 @@ def main() -> None:
         scan_batch = int(os.environ.get("INSTANT_TPU_BENCH_SCAN_BATCH",
                                         8192))
         scan_batch = min(scan_batch, len(queries))
-        sq = queries[:scan_batch]
+        sq = jnp.asarray(queries[:scan_batch])
+        force_ready(sq)
         t0 = time.time()
         scan = ScanIndex(np.asarray(index.points))
         jax.block_until_ready(scan.norms)
         quant_s = time.time() - t0
         st = time_fn(lambda q: scan.search_batch(
                          q, k=k, ef=16, approx_topk=True),
-                     sq, warmup=2, iters=10, sync=jax.block_until_ready)
+                     sq, warmup=2, iters=10)
         scan_qps = scan_batch / st.per_call_s
         sd, sp = scan.search_batch(queries[:n_queries], k=k, ef=16,
                                    approx_topk=True)
@@ -173,6 +184,25 @@ def main() -> None:
     except Exception as exc:
         print(f"[bench] scan path failed: {exc}", file=sys.stderr)
 
+    # Fused-bucket Pallas scan: int8 MXU matmul + stride-group-min in
+    # one kernel — the score matrix never touches HBM (ops/scan_kernel).
+    fused_qps = fused_recall = None
+    if scan_qps:
+        try:
+            fkw = dict(fused="bucket", qb=512, cb=4096, lsub=32)
+            ft = time_fn(lambda q: scan.search_batch(
+                             q, k=k, ef=16, **fkw),
+                         sq, warmup=2, iters=20)
+            fused_qps = scan_batch / ft.per_call_s
+            fd, fp = scan.search_batch(queries[:n_queries], k=k, ef=16,
+                                       **fkw)
+            fused_recall = recall_at_k(np.asarray(fp), gt_i, k)
+            print(f"[bench] tpu scan-fused: {fused_qps:,.0f} qps, "
+                  f"recall@10={fused_recall:.4f}", file=sys.stderr)
+        except Exception as exc:
+            print(f"[bench] fused scan path failed: {exc}",
+                  file=sys.stderr)
+
     # headline: best QPS among serving paths at recall >= the host
     # baseline's operating point (>= 0.95); recall ties break by QPS
     candidates = [(qps, recall, "exact")]
@@ -180,6 +210,8 @@ def main() -> None:
         candidates.append((packed_qps, packed_recall, "packed"))
     if scan_qps and scan_recall is not None and scan_recall >= 0.95:
         candidates.append((scan_qps, scan_recall, "scan"))
+    if fused_qps and fused_recall is not None and fused_recall >= 0.95:
+        candidates.append((fused_qps, fused_recall, "scan_fused"))
     best_qps, best_recall, best_path = max(candidates)
     emit(
         metric=f"batched_qps_sift1m_like_n{n}_ef{ef}",
@@ -200,6 +232,9 @@ def main() -> None:
         scan_qps=round(scan_qps, 1) if scan_qps else None,
         scan_recall_at_10=(round(scan_recall, 4)
                            if scan_recall is not None else None),
+        scan_fused_qps=round(fused_qps, 1) if fused_qps else None,
+        scan_fused_recall_at_10=(round(fused_recall, 4)
+                                 if fused_recall is not None else None),
         baseline_qps=round(base_qps, 1) if base_qps else None,
         baseline_cores=n_cores,
         baseline_build_est_s=(round(base_build_est_s, 1)

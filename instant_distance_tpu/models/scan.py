@@ -172,10 +172,10 @@ def _scan_search_jit(queries, codes, scales, norms, points, eligible, *,
 @functools.partial(
     jax.jit,
     static_argnames=("metric_name", "ef", "k", "lsub", "topt", "qb",
-                     "cb", "rerank", "interpret", "mode"))
+                     "cb", "inner", "rerank", "interpret", "mode"))
 def _fused_search_jit(queries, codes_t, scales_r, norms_r, points,
                       eligible, *, metric_name, ef, k, lsub, topt, qb,
-                      cb, rerank, interpret, mode="topt"):
+                      cb, inner, rerank, interpret, mode="topt"):
     from ..ops.scan_kernel import fused_scan_bucket, fused_scan_topt
 
     qc, qs = _quantize_queries(queries)
@@ -186,7 +186,7 @@ def _fused_search_jit(queries, codes_t, scales_r, norms_r, points,
     if mode == "bucket":
         od, oi = fused_scan_bucket(qc, qs[:, None], codes_t, scales_r,
                                    norms_r, lsub=lsub, qb=qb, cb=cb,
-                                   interpret=interpret)
+                                   inner=inner, interpret=interpret)
     else:
         od, oi = fused_scan_topt(qc, qs[:, None], codes_t, scales_r,
                                  norms_r, lsub=lsub, topt=topt, qb=qb,
@@ -279,7 +279,7 @@ class ScanIndex:
                      rerank: bool = True, filter_mask=None,
                      approx_topk: bool = False, tile: int = 0,
                      fused=False, topt: int = 8, lsub: int = 16,
-                     qb: int = 0, cb: int = 0):
+                     qb: int = 0, cb: int = 0, inner: int = 1):
         """[B, D] -> (dists [B, k], ids [B, k]); ids = input order.
 
         ``ef`` is the rerank depth (how many scan candidates get exact
@@ -303,22 +303,25 @@ class ScanIndex:
         metric_name = self.metric_name
         cb = cb or self._FUSED_CB
         if fused and metric_name in ("sqeuclidean", "euclidean") \
-                and len(self) >= cb:
-            mode = fused if isinstance(fused, str) else "topt"
-            qb = qb or self._FUSED_QB
+                and len(self) >= cb * inner:
+            mode = fused if isinstance(fused, str) else "bucket"
+            if mode == "bucket" and lsub == 16 and cb == self._FUSED_CB:
+                lsub = 32  # measured best: 128-lane output tiles
+            qb = qb or (512 if queries.shape[0] >= 512
+                        else self._FUSED_QB)
             b = queries.shape[0]
             pad = (-b) % qb
             q = (jnp.concatenate(
                  [queries, jnp.broadcast_to(queries[:1],
                                             (pad, queries.shape[1]))])
                  if pad else queries)
-            codes_t, scales_r, norms_r = self._fused_arrays(cb)
+            codes_t, scales_r, norms_r = self._fused_arrays(cb * inner)
             d, i = _fused_search_jit(
                 q, codes_t, scales_r, norms_r, self.points,
                 self._eligible(filter_mask),
                 metric_name="sqeuclidean", ef=ef, k=k, lsub=lsub,
-                topt=topt, qb=qb, cb=cb, rerank=rerank, mode=mode,
-                interpret=jax.default_backend() == "cpu")
+                topt=topt, qb=qb, cb=cb, inner=inner, rerank=rerank,
+                mode=mode, interpret=jax.default_backend() == "cpu")
             if pad:
                 d, i = d[:b], i[:b]
         else:

@@ -39,7 +39,8 @@ _I32MAX = np.iinfo(np.int32).max
 
 
 def _bucket_scan_kernel(qc_ref, qs_ref, codes_ref, sc_ref, no_ref,
-                        od_ref, oi_ref, *, lsub: int, is_dot: bool):
+                        od_ref, oi_ref, *, lsub: int, cb: int,
+                        inner: int, is_dot: bool):
     """Bucket-min variant: no in-kernel top-T extraction.
 
     The top-T loop in ``_fused_scan_kernel`` costs ``topt`` cross-lane
@@ -48,37 +49,42 @@ def _bucket_scan_kernel(qc_ref, qs_ref, codes_ref, sc_ref, no_ref,
     emits ALL ``cb/lsub`` stride-group minima (values + argmin ids);
     every VPU op stays lane-local elementwise, and the global top-ef
     runs once in XLA over the (lsub x smaller) candidate array.
-    """
-    dot = jax.lax.dot_general(
-        qc_ref[:], codes_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)                  # [QB, CB]
-    qs = qs_ref[:]                                         # [QB, 1]
-    sc = sc_ref[:]                                         # [1, CB]
-    prod = (qs * sc) * dot.astype(jnp.float32)
-    dist = -prod if is_dot else no_ref[:] - 2.0 * prod     # [QB, CB]
 
-    qb, cb = dist.shape
+    ``inner`` sub-chunks per cell amortize the measured ~30 us fixed
+    per-grid-cell cost: one cell loads codes for ``inner * cb`` points
+    and loops, keeping only one [qb, cb] distance tile live in VMEM.
+    """
+    qs = qs_ref[:]                                         # [QB, 1]
+    qb = qs.shape[0]
     ct = cb // lsub
-    # strided group-min: groups are {j, ct+j, 2ct+j, ...} — contiguous
-    # [QB, ct] slabs, elementwise min with zero relayout
-    m = dist[:, :ct]
-    am = jnp.zeros((qb, ct), jnp.int32)
-    for t in range(1, lsub):
-        blk = dist[:, t * ct:(t + 1) * ct]
-        upd = blk < m
-        am = jnp.where(upd, t, am)
-        m = jnp.minimum(m, blk)
-    base = pl.program_id(0) * cb
     col = jax.lax.broadcasted_iota(jnp.int32, (qb, ct), 1)
-    od_ref[:, :] = m
-    oi_ref[:, :] = jnp.where(jnp.isfinite(m),
-                             base + am * ct + col, -1)
+    for j in range(inner):
+        sl = slice(j * cb, (j + 1) * cb)
+        dot = jax.lax.dot_general(
+            qc_ref[:], codes_ref[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)              # [QB, CB]
+        prod = (qs * sc_ref[:, sl]) * dot.astype(jnp.float32)
+        dist = -prod if is_dot else no_ref[:, sl] - 2.0 * prod
+        # strided group-min: groups are {g, ct+g, 2ct+g, ...} —
+        # contiguous [QB, ct] slabs, elementwise min, zero relayout
+        m = dist[:, :ct]
+        am = jnp.zeros((qb, ct), jnp.int32)
+        for t in range(1, lsub):
+            blk = dist[:, t * ct:(t + 1) * ct]
+            upd = blk < m
+            am = jnp.where(upd, t, am)
+            m = jnp.minimum(m, blk)
+        base = (pl.program_id(0) * inner + j) * cb
+        od_ref[:, j * ct:(j + 1) * ct] = m
+        oi_ref[:, j * ct:(j + 1) * ct] = jnp.where(
+            jnp.isfinite(m), base + am * ct + col, -1)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("lsub", "qb", "cb", "is_dot", "interpret"))
+    jax.jit, static_argnames=("lsub", "qb", "cb", "inner", "is_dot",
+                              "interpret"))
 def fused_scan_bucket(qc, qs, codes_t, scales, norms, *, lsub: int = 16,
-                      qb: int = 256, cb: int = 4096,
+                      qb: int = 256, cb: int = 4096, inner: int = 1,
                       is_dot: bool = False, interpret: bool = False):
     """Fused scan, bucket-min form: returns per-stride-group minima.
 
@@ -87,16 +93,23 @@ def fused_scan_bucket(qc, qs, codes_t, scales, norms, *, lsub: int = 16,
     the candidate axis (no transpose needed — the out spec writes
     [B, nc*ct] directly).  A true neighbor is lost only when a nearer
     point shares its lsub-wide stride group (P ~ k*lsub/cb per pair).
+    ``inner`` sub-chunks per grid cell cut fixed per-cell overhead;
+    N must divide by cb*inner and cb/lsub must be a lane multiple
+    (128) for the output tiling.
     """
     b, d = qc.shape
     n = codes_t.shape[1]
-    assert b % qb == 0 and n % cb == 0 and cb % lsub == 0
-    nc = n // cb
+    cbo = cb * inner
     ct = cb // lsub
+    assert b % qb == 0 and n % cbo == 0 and cb % lsub == 0
+    if not interpret and ct % 128 != 0:
+        raise ValueError(
+            f"cb/lsub = {ct} must be a multiple of 128 lanes")
+    nc = n // cbo
     grid = (nc, b // qb)  # query blocks innermost: codes block is reused
 
-    kernel = functools.partial(_bucket_scan_kernel, lsub=lsub,
-                               is_dot=is_dot)
+    kernel = functools.partial(_bucket_scan_kernel, lsub=lsub, cb=cb,
+                               inner=inner, is_dot=is_dot)
     od, oi = pl.pallas_call(
         kernel,
         grid=grid,
@@ -105,23 +118,27 @@ def fused_scan_bucket(qc, qs, codes_t, scales, norms, *, lsub: int = 16,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((qb, 1), lambda ic, iq: (iq, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, cb), lambda ic, iq: (0, ic),
+            pl.BlockSpec((d, cbo), lambda ic, iq: (0, ic),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cb), lambda ic, iq: (0, ic),
+            pl.BlockSpec((1, cbo), lambda ic, iq: (0, ic),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cb), lambda ic, iq: (0, ic),
+            pl.BlockSpec((1, cbo), lambda ic, iq: (0, ic),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((qb, ct), lambda ic, iq: (iq, ic),
+            pl.BlockSpec((qb, inner * ct), lambda ic, iq: (iq, ic),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((qb, ct), lambda ic, iq: (iq, ic),
+            pl.BlockSpec((qb, inner * ct), lambda ic, iq: (iq, ic),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, nc * ct), jnp.float32),
-            jax.ShapeDtypeStruct((b, nc * ct), jnp.int32),
+            jax.ShapeDtypeStruct((b, nc * inner * ct), jnp.float32),
+            jax.ShapeDtypeStruct((b, nc * inner * ct), jnp.int32),
         ],
+        # v5e has 128 MB VMEM; the default 16 MB scoped limit rejects
+        # the fatter (qb, cb, inner) tilings that amortize per-cell cost
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(qc, qs, codes_t, scales, norms)
     return od, oi

@@ -35,12 +35,34 @@ class Timing:
     calls: int
 
 
+def force_ready(out) -> None:
+    """Block until the device work backing ``out`` has really finished.
+
+    ``jax.block_until_ready`` is NOT a completion barrier through the
+    axon remote-TPU relay (it returns once dispatch is acknowledged, so
+    timings "complete" in microseconds while the chip is still busy).
+    A device->host read of one element IS: it can only return after the
+    producing computation finished.  Transfers one scalar per array
+    leaf, so it is cheap for any output size.
+    """
+    import jax
+
+    for leaf in jax.tree_util.tree_leaves(out):
+        if hasattr(leaf, "ndim") and (leaf.ndim == 0
+                                      or 0 not in leaf.shape):
+            np.asarray(leaf[(0,) * leaf.ndim] if leaf.ndim else leaf)
+
+
 def time_fn(fn: Callable, *args, warmup: int = 2, iters: int = 10,
-            sync: Optional[Callable] = None) -> Timing:
-    """Steady-state timing; ``sync`` blocks on async device work."""
+            sync: Optional[Callable] = force_ready) -> Timing:
+    """Steady-state timing; ``sync`` (default :func:`force_ready`)
+    drains async device work after warmup and after the timed loop —
+    dispatch overlaps execution across the loop, so ``per_call_s`` is
+    sustained pipeline throughput, not single-call latency."""
+    out = None
     for _ in range(warmup):
         out = fn(*args)
-    if sync is not None:
+    if sync is not None and warmup:
         sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):

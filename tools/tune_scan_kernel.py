@@ -48,38 +48,60 @@ def main():
     gt_d, gt_i = BruteForce(data).search_batch(gt_q, k)
     gt_i = np.asarray(gt_i)
 
-    def measure(name, fn):
+    # Interleaved rounds: the chip/relay throughput drifts by 2-3x over
+    # minutes, so single-shot timings are useless — every config is
+    # timed in each round and judged by its per-round RATIO to the XLA
+    # baseline measured in the same round.
+    configs = [("xla", None)] + [
+        (f"bucket qb={qb} cb={cb} ls={lsub} in={inner} ef={ef_}",
+         (qb, cb, lsub, inner, ef_))
+        for qb, cb, lsub, inner, ef_ in [
+            (512, 4096, 32, 1, 16),
+            (512, 4096, 32, 4, 16),
+            (512, 4096, 32, 8, 16),
+            (512, 4096, 32, 16, 16),
+            (1024, 4096, 32, 8, 16),
+            (512, 8192, 64, 8, 16),
+            (512, 4096, 32, 8, 32),
+        ]]
+
+    def run_cfg(cfg, q):
+        if cfg is None:
+            return idx.search_batch(q, k=k, ef=ef, approx_topk=True)
+        qb, cb, lsub, inner, ef_ = cfg
+        return idx.search_batch(q, k=k, ef=ef_, fused="bucket", qb=qb,
+                                cb=cb, lsub=lsub, inner=inner)
+
+    results = {name: [] for name, _ in configs}
+    ok = {}
+    for name, cfg in configs:  # compile + recall pass
         try:
-            t = time_fn(fn, queries, warmup=2, iters=5,
-                        sync=jax.block_until_ready)
-            qps = b / t.per_call_s
-            d, i = fn(gt_q)
-            rec = recall_at_k(np.asarray(i), gt_i, k)
-            print(f"{name:42s} {qps:10,.0f} qps  recall@{k}={rec:.4f}")
+            d, i = run_cfg(cfg, gt_q)
+            ok[name] = recall_at_k(np.asarray(i), gt_i, k)
         except Exception as exc:
-            print(f"{name:42s} FAILED: {type(exc).__name__}: {exc}")
+            print(f"{name:46s} FAILED: {type(exc).__name__}: "
+                  f"{str(exc)[:120]}")
+            ok[name] = None
         sys.stdout.flush()
-
-    measure("xla approx_topk chunk=128k",
-            lambda q: idx.search_batch(q, k=k, ef=ef, approx_topk=True))
-
-    for mode, qb, cb, lsub in [
-        ("bucket", 256, 4096, 16),
-        ("bucket", 256, 4096, 32),
-        ("bucket", 256, 8192, 32),
-        ("bucket", 128, 8192, 32),
-        ("bucket", 256, 8192, 64),
-        ("bucket", 512, 4096, 32),
-    ]:
-        measure(f"fused {mode} qb={qb} cb={cb} lsub={lsub}",
-                lambda q, m=mode, a=qb, c=cb, s=lsub: idx.search_batch(
-                    q, k=k, ef=ef, fused=m, qb=a, cb=c, lsub=s))
-
-    for qb, cb, lsub, topt in [(256, 4096, 16, 8), (256, 8192, 32, 8)]:
-        measure(f"fused topt qb={qb} cb={cb} lsub={lsub} T={topt}",
-                lambda q, a=qb, c=cb, s=lsub, t=topt: idx.search_batch(
-                    q, k=k, ef=ef, fused="topt", qb=a, cb=c, lsub=s,
-                    topt=t))
+    rounds = int(os.environ.get("TUNE_ROUNDS", 4))
+    for r in range(rounds):
+        for name, cfg in configs:
+            if ok[name] is None:
+                continue
+            t = time_fn(lambda q: run_cfg(cfg, q), queries, warmup=1,
+                        iters=3, sync=jax.block_until_ready)
+            results[name].append(b / t.per_call_s)
+    base = results["xla"]
+    for name, cfg in configs:
+        if ok[name] is None:
+            continue
+        qps = results[name]
+        ratios = [q / bq for q, bq in zip(qps, base)]
+        print(f"{name:46s} med {np.median(qps):10,.0f} qps  "
+              f"ratio-vs-xla {np.median(ratios):5.2f}  "
+              f"recall@{k}={ok[name]:.4f}  "
+              f"rounds={[f'{x/1e3:.1f}k' for x in qps]}")
+        sys.stdout.flush()
 
 
 if __name__ == "__main__":
