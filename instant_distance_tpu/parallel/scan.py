@@ -24,7 +24,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import Config
-from ..models.scan import rerank_exact, scan_candidates
+from ..models.scan import (_quantize_queries, rerank_exact,
+                           scan_candidates)
 from ..ops.distance import resolve
 from ..ops.packed import quantize_points
 from .mesh import SHARD_AXIS, default_mesh
@@ -110,9 +111,40 @@ class ShardedScanIndex:
         full = np.concatenate([eligible, np.zeros(pad, bool)])
         return jnp.asarray(full.reshape(-1, self.n_s))
 
+    # -- fused-kernel shard layout (built lazily) ---------------------------
+    def _fused_shard_arrays(self, cb: int):
+        """Per-shard transposed codes + row-form scales/norms padded to a
+        multiple of ``cb`` (the Pallas kernel's point-block size)."""
+        cached = getattr(self, "_fused_arrs", None)
+        if cached is not None and cached[0] == cb:
+            return cached[1:]
+        n_s = self.n_s
+        n_sp = -(-n_s // cb) * cb
+
+        def prep(c, s_, no):
+            ct = jnp.pad(c[0], ((0, n_sp - n_s), (0, 0))).T[None]
+            sr = jnp.pad(s_[0], (0, n_sp - n_s))[None, None]
+            nr = jnp.pad(no[0], (0, n_sp - n_s),
+                         constant_values=np.inf)[None, None]
+            return ct, sr, nr
+        ct, sr, nr = jax.jit(jax.shard_map(
+            prep, mesh=self.mesh, in_specs=(P(SHARD_AXIS),) * 3,
+            out_specs=(P(SHARD_AXIS),) * 3, check_vma=False))(
+                self.codes, self.scales, self.norms)
+        self._fused_arrs = (cb, ct, sr, nr)
+        return ct, sr, nr
+
     def search_batch(self, queries, k: int = 10, ef: Optional[int] = None,
-                     filter_mask=None):
-        """[B, D] -> (exact dists [B, k], original ids [B, k])."""
+                     filter_mask=None, fused: bool = False,
+                     qb: int = 0, cb: int = 4096, lsub: int = 32):
+        """[B, D] -> (exact dists [B, k], original ids [B, k]).
+
+        ``fused=True`` runs each shard's scan through the Pallas bucket
+        kernel (models/scan.py ``fused="bucket"`` — the 1M-scale serving
+        headline) instead of the XLA streamed scan; requires a
+        matmul-form squared-L2 metric and shard sizes >= ``cb``
+        (on TPU also ``cb/lsub`` >= 128 lanes).
+        """
         queries = jnp.asarray(queries, jnp.float32)
         if queries.ndim == 1:
             queries = queries[None]
@@ -122,11 +154,34 @@ class ShardedScanIndex:
         eligible = self._eligible(filter_mask)
         metric_name = ("sqeuclidean" if self.metric_name == "euclidean"
                        else self.metric_name)
-        key = (ef, k, eligible is not None)
+        fused = bool(fused) and metric_name == "sqeuclidean"
+        b0 = queries.shape[0]
+        if fused:
+            cb = int(min(cb, -(-self.n_s // lsub) * lsub))
+            qb = qb or (512 if b0 >= 512 else 256)
+            qpad = (-b0) % qb
+            if qpad:
+                queries = jnp.concatenate(
+                    [queries, jnp.broadcast_to(
+                        queries[:1], (qpad, queries.shape[1]))])
+        key = (ef, k, eligible is not None, fused, qb, cb, lsub,
+               queries.shape[0])
         if key not in self._fns:
             metric = resolve(metric_name)
             filtered = eligible is not None
             n, n_s, chunk = self.n, self.n_s, self.chunk
+            interp = jax.default_backend() == "cpu"
+
+            def merge(q, sd, si, base):
+                gi = jnp.where(si >= 0, base + si, -1)
+                sd = jnp.where(gi >= 0, sd, jnp.inf)
+                ad = jax.lax.all_gather(sd, SHARD_AXIS)   # [S, B, ef]
+                ag = jax.lax.all_gather(gi, SHARD_AXIS)
+                b = q.shape[0]
+                cd = ad.transpose(1, 0, 2).reshape(b, -1)
+                cg = ag.transpose(1, 0, 2).reshape(b, -1)
+                fd, fg = jax.lax.sort((cd, cg), dimension=1, num_keys=2)
+                return fd[:, :k], fg[:, :k]
 
             def local(q, el, codes, scales, norms, points):
                 el0 = el[0] if filtered else None
@@ -141,26 +196,50 @@ class ShardedScanIndex:
                     q, codes[0], scales[0], norms[0], el0,
                     metric_name=metric_name, ef=ef, chunk=chunk)
                 sd, si = rerank_exact(q, points[0], bi, metric, ef)
-                gi = jnp.where(si >= 0, base + si, -1)
-                sd = jnp.where(gi >= 0, sd, jnp.inf)
-                ad = jax.lax.all_gather(sd, SHARD_AXIS)   # [S, B, ef]
-                ag = jax.lax.all_gather(gi, SHARD_AXIS)
-                b = q.shape[0]
-                cd = ad.transpose(1, 0, 2).reshape(b, -1)
-                cg = ag.transpose(1, 0, 2).reshape(b, -1)
-                fd, fg = jax.lax.sort((cd, cg), dimension=1, num_keys=2)
-                return fd[:, :k], fg[:, :k]
+                return merge(q, sd, si, base)
+
+            def local_fused(q, el, ct, sr, nr, points):
+                from ..ops.scan_kernel import fused_scan_bucket
+
+                shard_id = jax.lax.axis_index(SHARD_AXIS)
+                base = shard_id.astype(jnp.int32) * n_s
+                n_sp = ct.shape[2]
+                local_ids = base + jax.lax.broadcasted_iota(
+                    jnp.int32, (n_sp,), 0)
+                elig = local_ids < jnp.minimum(n, base + n_s)
+                if filtered:
+                    elig = elig & jnp.pad(el[0], (0, n_sp - n_s))
+                nr_m = jnp.where(elig[None, :], nr[0], jnp.inf)
+                qc, qs = _quantize_queries(q)
+                od, oi = fused_scan_bucket(
+                    qc, qs[:, None], ct[0], sr[0], nr_m, lsub=lsub,
+                    qb=qb, cb=cb, interpret=interp)
+                md, nidx = jax.lax.approx_min_k(
+                    od, min(ef, od.shape[1]))
+                bi = jnp.take_along_axis(oi, nidx, axis=1)
+                bi = jnp.where(jnp.isfinite(md), bi, -1)
+                bi = jnp.where(bi < n_s, bi, -1)  # padded tail rows
+                sd, si = rerank_exact(q, points[0], bi, metric,
+                                      min(ef, bi.shape[1]))
+                return merge(q, sd, si, base)
 
             specs = ((P(None, None), P(SHARD_AXIS))
                      + (P(SHARD_AXIS),) * 4)
             self._fns[key] = jax.jit(jax.shard_map(
-                local, mesh=self.mesh, in_specs=specs,
+                local_fused if fused else local, mesh=self.mesh,
+                in_specs=specs,
                 out_specs=(P(None, None), P(None, None)),
                 check_vma=False))
         el = (jnp.zeros((self.points.shape[0], 1), bool)
               if eligible is None else eligible)
-        d, i = self._fns[key](queries, el, self.codes, self.scales,
-                              self.norms, self.points)
+        if fused:
+            ct, sr, nr = self._fused_shard_arrays(cb)
+            d, i = self._fns[key](queries, el, ct, sr, nr, self.points)
+            if b0 != queries.shape[0]:
+                d, i = d[:b0], i[:b0]
+        else:
+            d, i = self._fns[key](queries, el, self.codes, self.scales,
+                                  self.norms, self.points)
         if self.metric_name == "euclidean":
             d = jnp.sqrt(jnp.maximum(d, 0.0))
         return d, i

@@ -162,3 +162,35 @@ def test_fused_scan_bucket_interpret():
     d2, i2 = idx.search_batch(q, k=5, fused="bucket", filter_mask=mask)
     i2 = np.asarray(i2)
     assert mask[i2[i2 >= 0]].all()
+
+
+def test_sharded_scan_fused_matches_exact():
+    """Sharded fused-bucket path (interpret on CPU) == brute force."""
+    import jax
+
+    from instant_distance_tpu.parallel.mesh import default_mesh
+    from instant_distance_tpu.parallel.scan import ShardedScanIndex
+
+    assert len(jax.devices()) == 8
+    rng = np.random.default_rng(79)
+    pts = rng.standard_normal((2002, 16)).astype(np.float32)
+    queries = rng.standard_normal((16, 16)).astype(np.float32)
+    idx = ShardedScanIndex(pts, mesh=default_mesh(8))
+    d, i = idx.search_batch(queries, k=5, ef=20, fused=True,
+                            qb=16, cb=64, lsub=8)
+    gt_d, gt_i = BruteForce(pts).search_batch(queries, 5)
+    rec = _recall(np.asarray(i), np.asarray(gt_i))
+    print(f"sharded fused scan recall@5 = {rec}")
+    assert rec >= 0.95
+    np.testing.assert_allclose(np.asarray(d)[:, 0],
+                               np.asarray(gt_d)[:, 0], rtol=1e-5)
+    # filter + tombstone flow through the fused shard path
+    mask = np.ones(2002, bool)
+    mask[:4] = False
+    d2, i2 = idx.search_batch(pts[:4], k=1, fused=True, qb=4, cb=64,
+                              lsub=8, filter_mask=mask)
+    assert (np.asarray(i2)[:, 0] >= 4).all()
+    idx.delete([7])
+    d3, i3 = idx.search_batch(pts[7:8], k=1, fused=True, qb=1, cb=64,
+                              lsub=8)
+    assert int(np.asarray(i3)[0, 0]) != 7
