@@ -26,6 +26,8 @@ __all__ = [
     "ShardedHnsw",
     "ShardedScanIndex",
     "ReplicatedHnsw",
+    "ReplicatedPackedHnsw",
+    "ReplicatedScanIndex",
     "DEFAULT_M",
     "INVALID",
 ]
@@ -58,8 +60,9 @@ def __getattr__(name):
         from .parallel.scan import ShardedScanIndex
 
         return ShardedScanIndex
-    if name == "ReplicatedHnsw":
-        from .parallel.replicated import ReplicatedHnsw
+    if name in ("ReplicatedHnsw", "ReplicatedPackedHnsw",
+                "ReplicatedScanIndex"):
+        from .parallel import replicated
 
-        return ReplicatedHnsw
+        return getattr(replicated, name)
     raise AttributeError(name)

@@ -210,3 +210,140 @@ class ReplicatedPackedHnsw:
 
             return np.asarray(d)[:b], np.asarray(p)[:b]
         return d, p
+
+
+class ReplicatedScanIndex:
+    """Query-DP serving over the quantized exhaustive scan: codes are
+    replicated on every device, the query batch is sharded — linear QPS
+    scaling of the single-chip scan (fused-kernel or XLA streamed) with
+    zero cross-device result traffic (each device fully answers its own
+    queries).  Complements ShardedScanIndex, which shards *points* for
+    indices larger than one chip's HBM."""
+
+    def __init__(self, scan, mesh: Optional[Mesh] = None):
+        from ..models.scan import ScanIndex  # noqa: F401
+
+        self.mesh = mesh or default_mesh()
+        self.config = scan.config
+        self.metric_name = scan.metric_name
+        self.chunk = scan.chunk
+        repl = NamedSharding(self.mesh, P())
+        self.points = jax.device_put(scan.points, repl)
+        self.codes = jax.device_put(scan.codes, repl)
+        self.scales = jax.device_put(scan.scales, repl)
+        self.norms = jax.device_put(scan.norms, repl)
+        self.values = (None if scan.values is None else list(scan.values))
+        self._alive = (None if scan._alive is None
+                       else jax.device_put(scan._alive, repl))
+        self._fused = None
+        self._fns = {}
+
+    def __len__(self) -> int:
+        return int(self.points.shape[0])
+
+    _eligible = ReplicatedHnsw._eligible
+    search_batch_values = ReplicatedHnsw.search_batch_values
+
+    def _fused_arrays(self, cb: int):
+        if self._fused is None or self._fused[0] != cb:
+            n = len(self)
+            npad = (-n) % cb
+            repl = NamedSharding(self.mesh, P())
+            ct = jax.device_put(
+                jnp.pad(self.codes, ((0, npad), (0, 0))).T, repl)
+            sr = jax.device_put(
+                jnp.pad(self.scales, (0, npad))[None, :], repl)
+            import numpy as np
+            nr = jax.device_put(
+                jnp.pad(self.norms, (0, npad),
+                        constant_values=np.inf)[None, :], repl)
+            self._fused = (cb, ct, sr, nr)
+        return self._fused[1:]
+
+    def search_batch(self, queries, k: int = 10, ef: Optional[int] = None,
+                     filter_mask=None, fused=False, qb: int = 0,
+                     cb: int = 4096, lsub: int = 32,
+                     approx_topk: bool = True):
+        """[B, D] -> (dists [B, k], ids [B, k]); B sharded over devices."""
+        from ..models.scan import (_quantize_queries, rerank_exact,
+                                   scan_candidates)
+        from ..ops.distance import resolve
+
+        queries = jnp.asarray(queries, jnp.float32)
+        if queries.ndim == 1:
+            queries = queries[None]
+        n = len(self)
+        ef = int(min(ef or max(4 * k, 32), n))
+        k = int(min(k, ef))
+        metric_name = ("sqeuclidean" if self.metric_name == "euclidean"
+                       else self.metric_name)
+        fused = bool(fused) and metric_name == "sqeuclidean" and n >= cb
+        n_dev = self.mesh.devices.size
+        b0 = queries.shape[0]
+        per_dev = qb if (fused and qb) else (512 if fused else 1)
+        unit = n_dev * max(per_dev, 1)
+        pad = (-b0) % unit
+        if pad:
+            queries = jnp.concatenate(
+                [queries, jnp.broadcast_to(queries[:1],
+                                           (pad, queries.shape[1]))])
+        if fused and not qb:
+            qb = min(512, queries.shape[0] // n_dev)
+        eligible = self._eligible(filter_mask)
+        key = (ef, k, eligible is not None, fused, qb, cb, lsub)
+        if key not in self._fns:
+            metric = resolve(metric_name)
+            filtered = eligible is not None
+            chunk = self.chunk
+            interp = jax.default_backend() == "cpu"
+
+            def local(q, fm, codes, scales, norms, points):
+                bd, bi = scan_candidates(
+                    q, codes, scales, norms,
+                    fm if filtered else None,
+                    metric_name=metric_name, ef=ef, chunk=chunk,
+                    approx_topk=approx_topk)
+                sd, si = rerank_exact(q, points, bi, metric, ef)
+                return sd[:, :k], si[:, :k]
+
+            def local_fused(q, fm, ct, sr, nr, points):
+                from ..ops.scan_kernel import fused_scan_bucket
+
+                nr_m = nr
+                if filtered:
+                    npad_ = nr.shape[1] - fm.shape[0]
+                    import numpy as np
+                    nr_m = jnp.where(
+                        jnp.pad(fm, (0, npad_))[None, :], nr, np.inf)
+                qc, qs = _quantize_queries(q)
+                od, oi = fused_scan_bucket(
+                    qc, qs[:, None], ct, sr, nr_m, lsub=lsub, qb=qb,
+                    cb=cb, interpret=interp)
+                md, nidx = jax.lax.approx_min_k(od, min(ef, od.shape[1]))
+                bi = jnp.take_along_axis(oi, nidx, axis=1)
+                bi = jnp.where(jnp.isfinite(md), bi, -1)
+                bi = jnp.where(bi < len(points), bi, -1)
+                sd, si = rerank_exact(q, points, bi, metric,
+                                      min(ef, bi.shape[1]))
+                return sd[:, :k], si[:, :k]
+
+            self._fns[key] = jax.jit(jax.shard_map(
+                local_fused if fused else local, mesh=self.mesh,
+                in_specs=(P(SHARD_AXIS, None), P(), P(), P(), P(), P()),
+                out_specs=(P(SHARD_AXIS, None), P(SHARD_AXIS, None)),
+                check_vma=False))
+        qsh = NamedSharding(self.mesh, P(SHARD_AXIS, None))
+        queries = jax.device_put(queries, qsh)
+        fm = (jnp.ones(1, bool) if eligible is None else eligible)
+        if fused:
+            ct, sr, nr = self._fused_arrays(cb)
+            d, i = self._fns[key](queries, fm, ct, sr, nr, self.points)
+        else:
+            d, i = self._fns[key](queries, fm, self.codes, self.scales,
+                                  self.norms, self.points)
+        if pad:
+            import numpy as np
+            d, i = np.asarray(d)[:b0], np.asarray(i)[:b0]
+        if self.metric_name == "euclidean":
+            d = jnp.sqrt(jnp.maximum(jnp.asarray(d), 0.0))
+        return d, i

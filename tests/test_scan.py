@@ -194,3 +194,42 @@ def test_sharded_scan_fused_matches_exact():
     d3, i3 = idx.search_batch(pts[7:8], k=1, fused=True, qb=1, cb=64,
                               lsub=8)
     assert int(np.asarray(i3)[0, 0]) != 7
+
+
+def test_replicated_scan_query_dp():
+    """Query-DP scan over the 8-device mesh: matches brute force, both
+    the XLA streamed and the fused-bucket (interpret) paths."""
+    import jax
+
+    from instant_distance_tpu.parallel.mesh import default_mesh
+    from instant_distance_tpu.parallel.replicated import (
+        ReplicatedScanIndex)
+
+    assert len(jax.devices()) == 8
+    rng = np.random.default_rng(91)
+    pts = rng.standard_normal((1500, 16)).astype(np.float32)
+    queries = rng.standard_normal((19, 16)).astype(np.float32)  # pads
+    base = ScanIndex(pts, values=[f"v{i}" for i in range(1500)])
+    base.delete([3])
+    rep = ReplicatedScanIndex(base, mesh=default_mesh(8))
+    gt_d, gt_i = BruteForce(pts).search_batch(queries, 5)
+
+    d, i = rep.search_batch(queries, k=5, ef=20)
+    rec = _recall(np.asarray(i), np.asarray(gt_i))
+    print(f"replicated scan recall@5 = {rec}")
+    assert rec >= 0.95
+    assert not (np.asarray(i) == 3).any()      # tombstone snapshot
+
+    d2, i2 = rep.search_batch(queries, k=5, ef=20, fused=True,
+                              qb=4, cb=128, lsub=8)
+    rec2 = _recall(np.asarray(i2), np.asarray(gt_i))
+    print(f"replicated fused scan recall@5 = {rec2}")
+    assert rec2 >= 0.95
+
+    mask = np.zeros(1500, bool)
+    mask[::3] = True
+    d3, i3, vals = rep.search_batch_values(queries[:4], k=3,
+                                           filter_mask=mask)
+    i3 = np.asarray(i3)
+    assert (i3[i3 >= 0] % 3 == 0).all()
+    assert vals[0][0] == f"v{i3[0, 0]}"
