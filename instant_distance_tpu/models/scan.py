@@ -209,13 +209,19 @@ class ScanIndex:
 
     def __init__(self, points, metric: str = "sqeuclidean",
                  chunk: int = 1 << 17,
-                 values: Optional[Sequence[Any]] = None):
+                 values: Optional[Sequence[Any]] = None,
+                 store_dtype: str = "float32"):
         if not isinstance(metric, str):
             raise ValueError(
                 "ScanIndex needs a matmul-form metric name "
                 "(sqeuclidean/euclidean/dot/cosine); use BruteForce for "
                 "custom callables")
-        self.points = jnp.asarray(points, jnp.float32)
+        # points are only read by the exact rerank (ef rows per query);
+        # store_dtype="bfloat16" halves the dominant serving array at
+        # the cost of bf16 resolution on the reranked distances
+        # (ops/distance.py upcasts to f32 at the metric boundary).
+        self.points = jnp.asarray(points, jnp.float32).astype(
+            jnp.dtype(store_dtype))
         self.metric_name = metric
         n = self.points.shape[0]
         self.chunk = int(min(chunk, max(1, n)))
@@ -356,7 +362,8 @@ class ScanIndex:
             magic=np.array("instant-distance-tpu/scan/v1"),
             metric=np.array(self.metric_name),
             chunk=np.array(self.chunk, np.int64),
-            points=np.asarray(self.points, np.float32),
+            points=np.asarray(self.points.astype(jnp.float32)),
+            store_dtype=np.array(str(self.points.dtype)),
             codes=np.asarray(self.codes),
             scales=np.asarray(self.scales),
             norms=np.asarray(self.norms),
@@ -379,6 +386,9 @@ class ScanIndex:
             obj.metric_name = str(z["metric"])
             obj.chunk = int(z["chunk"])
             obj.points = jnp.asarray(z["points"])
+            if "store_dtype" in z.files:
+                obj.points = obj.points.astype(
+                    jnp.dtype(str(z["store_dtype"])))
             obj.codes = jnp.asarray(z["codes"])
             obj.scales = jnp.asarray(z["scales"])
             obj.norms = jnp.asarray(z["norms"])

@@ -233,3 +233,23 @@ def test_replicated_scan_query_dp():
     i3 = np.asarray(i3)
     assert (i3[i3 >= 0] % 3 == 0).all()
     assert vals[0][0] == f"v{i3[0, 0]}"
+
+
+def test_scan_bf16_storage_roundtrip(tmp_path):
+    """store_dtype='bfloat16' halves the rerank table; recall holds and
+    dump/load preserves the dtype."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(93)
+    pts = rng.standard_normal((800, 16)).astype(np.float32)
+    idx = ScanIndex(pts, store_dtype="bfloat16")
+    assert idx.points.dtype == jnp.bfloat16
+    gt_d, gt_i = BruteForce(pts).search_batch(pts[:16], 5)
+    d, i = idx.search_batch(pts[:16], k=5, ef=20)
+    assert _recall(np.asarray(i), np.asarray(gt_i)) >= 0.95
+    f = str(tmp_path / "bf16scan.npz")
+    idx.dump(f)
+    back = ScanIndex.load(f)
+    assert back.points.dtype == jnp.bfloat16
+    d2, i2 = back.search_batch(pts[:16], k=5, ef=20)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i2))
