@@ -38,6 +38,10 @@ def main():
     rng = np.random.default_rng(5)
     queries = data[rng.integers(0, n, b)] + \
         0.001 * rng.standard_normal((b, dim)).astype(np.float32)
+    import jax.numpy as jnp
+    from instant_distance_tpu.utils.metrics import force_ready
+    queries = jnp.asarray(queries)   # stage on device: per-call H2D
+    force_ready(queries)             # through the relay is ~150 ms
 
     t0 = time.time()
     idx = ScanIndex(data)
@@ -57,12 +61,12 @@ def main():
          (qb, cb, lsub, inner, ef_))
         for qb, cb, lsub, inner, ef_ in [
             (512, 4096, 32, 1, 16),
-            (512, 4096, 32, 4, 16),
-            (512, 4096, 32, 8, 16),
-            (512, 4096, 32, 16, 16),
-            (1024, 4096, 32, 8, 16),
-            (512, 8192, 64, 8, 16),
-            (512, 4096, 32, 8, 32),
+            (512, 8192, 64, 1, 16),
+            (256, 8192, 64, 1, 16),
+            (512, 4096, 32, 2, 16),
+            (512, 4096, 32, 1, 32),
+            (512, 8192, 32, 1, 16),
+            (1024, 2048, 16, 1, 16),
         ]]
 
     def run_cfg(cfg, q):
@@ -89,7 +93,7 @@ def main():
             if ok[name] is None:
                 continue
             t = time_fn(lambda q: run_cfg(cfg, q), queries, warmup=1,
-                        iters=3, sync=jax.block_until_ready)
+                        iters=3)
             results[name].append(b / t.per_call_s)
     base = results["xla"]
     for name, cfg in configs:
