@@ -239,6 +239,23 @@ class ScanIndex:
         metric = config.metric if config is not None else "sqeuclidean"
         return cls(points, metric=metric, values=values, **kw)
 
+    @classmethod
+    def from_index(cls, index, **kw) -> "ScanIndex":
+        """Build a scan-serving index from an existing Hnsw/HnswMap/
+        PackedHnsw: same points (PID order — returned ids are pids, like
+        the graph's), values and tombstones carried over.  Lets a
+        deployment switch a built graph index to exhaustive-scan serving
+        without touching the original vectors."""
+        metric = index.config.metric
+        if not isinstance(metric, str):
+            raise ValueError("from_index needs a named matmul metric")
+        obj = cls(index.points, metric=metric,
+                  values=getattr(index, "values", None), **kw)
+        alive = getattr(index, "_alive", None)
+        if alive is not None:
+            obj._alive = jnp.asarray(alive, bool)
+        return obj
+
     def __len__(self) -> int:
         return int(self.points.shape[0])
 

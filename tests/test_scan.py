@@ -253,3 +253,23 @@ def test_scan_bf16_storage_roundtrip(tmp_path):
     assert back.points.dtype == jnp.bfloat16
     d2, i2 = back.search_batch(pts[:16], k=5, ef=20)
     np.testing.assert_array_equal(np.asarray(i), np.asarray(i2))
+
+
+def test_scan_from_index_bridge():
+    """ScanIndex.from_index: pid-order ids, values + tombstones carry."""
+    from instant_distance_tpu.models.hnsw import HnswMap
+
+    rng = np.random.default_rng(95)
+    pts = rng.standard_normal((600, 12)).astype(np.float32)
+    from instant_distance_tpu.config import Config as Cfg
+
+    hmap = HnswMap.build(pts, [f"v{i}" for i in range(600)],
+                         Cfg(seed=95, ef_search=32))
+    hmap.delete([4])
+    scan = ScanIndex.from_index(hmap)
+    q = np.asarray(hmap.points[:8])          # pid-order queries
+    d, i, vals = scan.search_batch_values(q, k=1)
+    i = np.asarray(i)
+    assert (i[:, 0] == np.arange(8)).sum() >= 7   # pid 4 tombstoned
+    assert not (i == 4).any()
+    assert vals[0][0] == hmap.values[i[0, 0]]
