@@ -308,11 +308,16 @@ def _wave_schedule(start: int, end: int, cap: int):
 
 
 def _bucket(w: int, cap: int) -> int:
-    """Pad wave sizes to powers of 4 (capped): few distinct compiled
-    programs, bounded padding waste."""
+    """Pad wave sizes to powers of 16 (capped): at most four distinct
+    compiled wave programs per build (1, 16, 256, 4096 at the default
+    cap).  Remote compiles cost 30-60 s each through the dev tunnel, so
+    program count dominates cold-build time; the padding waste (up to
+    16x on the tiny early waves) is microseconds of device time.  Wave
+    CONTENT is unchanged — padded lanes are -1 and write to the sink
+    row — so the built graph is bit-identical to finer bucketing."""
     b = 1
     while b < w and b < cap:
-        b *= 4
+        b *= 16
     return min(b, cap) if b >= w else cap
 
 
