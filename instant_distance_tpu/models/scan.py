@@ -74,11 +74,10 @@ def scan_candidates(queries, codes, scales, norms, eligible, *,
     n = codes.shape[0]
     chunk = min(chunk, n)
     if tile > 1:
-        if chunk < 4 * tile:
-            tile = 0                 # pointless for tiny chunks
+        if chunk < 4 * tile or chunk // tile < ef:
+            tile = 0    # tiny chunk, or tiling would narrow below ef
         else:
             chunk = (chunk // tile) * tile
-            ef = min(ef, chunk // tile)
     n_chunks = (n + chunk - 1) // chunk
     pad = n_chunks * chunk - n
     codes_p = jnp.pad(codes, ((0, pad), (0, 0)))
@@ -164,7 +163,16 @@ def _scan_search_jit(queries, codes, scales, norms, points, eligible, *,
                              metric_name=metric_name, ef=ef, chunk=chunk,
                              approx_topk=approx_topk, tile=tile)
     if not rerank:
-        return bd[:, :k], bi[:, :k]
+        bd, bi = bd[:, :k], bi[:, :k]
+        # restore the per-query constants the streamed scan drops, so
+        # rerank=False values are (quantized) approximations in the
+        # named metric's units, not an ordering-only surrogate
+        if metric_name == "sqeuclidean":
+            qn2 = jnp.sum(queries * queries, axis=1, keepdims=True)
+            bd = jnp.where(jnp.isfinite(bd), bd + qn2, bd)
+        elif metric_name == "cosine":
+            bd = jnp.where(jnp.isfinite(bd), bd + 1.0, bd)
+        return bd, bi
     # exact rerank: ef true f32 distances per query (HIGHEST precision)
     return rerank_exact(queries, points, bi, resolve(metric_name), k)
 
@@ -196,7 +204,12 @@ def _fused_search_jit(queries, codes_t, scales_r, norms_r, points,
     bi = jnp.where(jnp.isfinite(md), bi, -1)
     if not rerank:
         bd, bi = jax.lax.sort((md, bi), dimension=1, num_keys=2)
-        return bd[:, :k], bi[:, :k]
+        bd, bi = bd[:, :k], bi[:, :k]
+        # fused path is sqeuclidean-only: add the per-query |q|^2 so
+        # rerank=False values are in metric units (see _scan_search_jit)
+        qn2 = jnp.sum(queries * queries, axis=1, keepdims=True)
+        bd = jnp.where(jnp.isfinite(bd), bd + qn2, bd)
+        return bd, bi
     return rerank_exact(queries, points, bi, resolve(metric_name), k)
 
 
@@ -355,7 +368,7 @@ class ScanIndex:
                              else metric_name),
                 ef=ef, k=k, chunk=self.chunk, rerank=rerank,
                 approx_topk=approx_topk, tile=tile)
-        if metric_name == "euclidean" and rerank:
+        if metric_name == "euclidean":
             d = jnp.sqrt(jnp.maximum(d, 0.0))
         return d, i
 

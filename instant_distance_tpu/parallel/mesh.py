@@ -50,11 +50,13 @@ def distributed_mesh(coordinator_address: Optional[str] = None,
     so no relayout is needed.
     """
     global _distributed_initialized
-    if not _distributed_initialized and jax.process_count() == 1:
-        try:
-            jax.distributed.initialize(coordinator_address, num_processes,
-                                       process_id)
-        except (RuntimeError, ValueError):
-            pass  # already initialized or single-process run
+    # Do NOT touch any backend-initializing JAX API (jax.devices,
+    # jax.process_count, ...) before initialize(): they start the local
+    # backend, after which initialize() raises.  Initialization errors
+    # propagate — silently degrading to a single-host mesh on a pod
+    # would violate this function's contract.
+    if not _distributed_initialized:
+        jax.distributed.initialize(coordinator_address, num_processes,
+                                   process_id)
         _distributed_initialized = True
     return default_mesh()

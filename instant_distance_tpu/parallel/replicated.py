@@ -290,7 +290,8 @@ class ReplicatedScanIndex:
         if fused and not qb:
             qb = min(512, queries.shape[0] // n_dev)
         eligible = self._eligible(filter_mask)
-        key = (ef, k, eligible is not None, fused, qb, cb, lsub)
+        key = (ef, k, eligible is not None, fused, qb, cb, lsub,
+               approx_topk)
         if key not in self._fns:
             metric = resolve(metric_name)
             filtered = eligible is not None

@@ -120,8 +120,24 @@ def _r_u64(f) -> int:
 
 def dump_bincode(index, fname: str, values_as_strings: bool = True) -> None:
     """Write the reference's bincode layout (readable by the Rust crate's
-    ``load`` when D == 300 and M == 32)."""
+    ``load`` when D == 300 and M == 32).
+
+    The reference Python binding hardcodes a 300-d ``FloatArray`` and
+    M = 32 rows (instant-distance-py/src/lib.rs:448, types.rs:63,83);
+    dumps with any other shape deserialize to garbage (or fail) over
+    there, so we warn — they remain valid for this package's own
+    ``load_bincode(dims=..., m=...)``.
+    """
+    import warnings
+
     points = np.asarray(index.points, np.float32)
+    if points.shape[1] != REFERENCE_DIMS or index.config.m != 32:
+        warnings.warn(
+            f"bincode dump with D={points.shape[1]}, M={index.config.m}: "
+            "the Rust reference binding only reads D=300, M=32 "
+            "(instant-distance-py/src/lib.rs:448); this dump is readable "
+            "only by load_bincode with matching dims/m.",
+            stacklevel=2)
     zero = np.asarray(index.zero, np.int32).astype(np.uint32)
     layers = [np.asarray(l, np.int32).astype(np.uint32)
               for l in index.layers]

@@ -81,8 +81,9 @@ def test_search_batch_and_values():
     d, p, vals = map_.search_batch_values(points[:4], k=3)
     assert d.shape == (4, 3) and p.shape == (4, 3)
     for i in range(4):
-        assert vals[i][0] == values[int(map_.ids_inverse(i))] \
-            if hasattr(map_, "ids_inverse") else True
+        # self-query: the nearest hit is the query point itself, so the
+        # returned value must be the one supplied alongside points[i]
+        assert vals[i][0] == values[i]
         assert np.asarray(d)[i, 0] == pytest.approx(0.0, abs=1e-6)
 
 
