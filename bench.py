@@ -98,6 +98,7 @@ def main() -> None:
     # scaled (a full single-core 100k host build takes ~17 min).
     base_qps = None
     base_build_est_s = None
+    base_lat_p50_ms = None
     n_cores = os.cpu_count() or 1
     if os.environ.get("INSTANT_TPU_BENCH_SKIP_BASELINE") != "1":
         try:
@@ -127,6 +128,17 @@ def main() -> None:
                 print(f"[bench] host build: {sub_s:.1f}s for {n_sub} "
                       f"-> est {base_build_est_s:.0f}s for {n}",
                       file=sys.stderr)
+                # single-query latency (the reference's operating mode:
+                # one sequential search per call, lib.rs:352-383)
+                lat = [0.0] * 32
+                for i_ in range(len(lat)):
+                    t0 = time.time()
+                    eng.search_batch(queries[i_:i_ + 1], ef=ef, k=k,
+                                     n_threads=1)
+                    lat[i_] = time.time() - t0
+                base_lat_p50_ms = float(np.median(lat) * 1e3)
+                print(f"[bench] host single-query p50: "
+                      f"{base_lat_p50_ms:.3f} ms", file=sys.stderr)
         except Exception as exc:  # baseline failure must not kill bench
             print(f"[bench] baseline failed: {exc}", file=sys.stderr)
 
@@ -142,12 +154,17 @@ def main() -> None:
             packed = PackedHnsw.from_index(index, pack_links=32)
             jax.block_until_ready(packed.zero_pack[1])
             pack_s = time.time() - t0
-            pt = time_fn(lambda q: packed.search_batch(q, k=k, ef=ef),
+            # seeded entry (one MXU seed scan replaces the upper-layer
+            # descent) is the packed path's serving default; recall is
+            # gated the same as every other candidate below
+            seeds = int(os.environ.get("INSTANT_TPU_BENCH_SEEDS", 8192))
+            pkw = dict(k=k, ef=ef, entry_seeds=seeds)
+            pt = time_fn(lambda q: packed.search_batch(q, **pkw),
                          qbatch, warmup=3, iters=20)
             packed_qps = batch / pt.per_call_s
-            pd, pp = packed.search_batch(queries[:n_queries], k=k, ef=ef)
+            pd, pp = packed.search_batch(queries[:n_queries], **pkw)
             packed_recall = recall_at_k(np.asarray(pp), gt_i, k)
-            print(f"[bench] tpu packed: {packed_qps:,.0f} qps, "
+            print(f"[bench] tpu packed(seeded): {packed_qps:,.0f} qps, "
                   f"recall@10={packed_recall:.4f} (pack {pack_s:.0f}s, "
                   f"{packed.nbytes() / 1e9:.1f} GB)", file=sys.stderr)
         except Exception as exc:
@@ -217,6 +234,31 @@ def main() -> None:
     if not candidates:  # nothing met the floor: report exact, un-gated
         candidates = [(qps, recall, "exact")]
     best_qps, best_recall, best_path = max(candidates)
+
+    # TPU single-query p50 latency (batch=1; through the dev tunnel this
+    # includes ~ms of relay round-trip — a property of this environment,
+    # not of a real TPU host, where dispatch is ~50 us)
+    tpu_lat_p50_ms = None
+    try:
+        q1 = qbatch[:1]
+        index.search_batch(q1, k=k)  # compile
+        lat = [0.0] * 16
+        for i_ in range(len(lat)):
+            t0 = time.time()
+            force_ready(index.search_batch(q1, k=k))
+            lat[i_] = time.time() - t0
+        tpu_lat_p50_ms = float(np.median(lat) * 1e3)
+        print(f"[bench] tpu single-query p50: {tpu_lat_p50_ms:.2f} ms "
+              f"(incl. relay round-trip)", file=sys.stderr)
+    except Exception as exc:
+        print(f"[bench] latency probe failed: {exc}", file=sys.stderr)
+
+    # The measured baseline runs on this box's ONE core.  The reference
+    # example hardware is an 8-core i9 (instant-distance-py/examples/
+    # translations/README.md:41); per-query searches are independent, so
+    # linear thread scaling is the baseline-generous projection (real
+    # chips share memory bandwidth, so true 8-core QPS would be lower).
+    base_qps_8c = base_qps * 8 if base_qps else None
     emit(
         metric=f"batched_qps_sift1m_like_n{n}_ef{ef}",
         value=round(best_qps, 1),
@@ -241,8 +283,16 @@ def main() -> None:
                                  if fused_recall is not None else None),
         baseline_qps=round(base_qps, 1) if base_qps else None,
         baseline_cores=n_cores,
+        baseline_qps_8core_proj=(round(base_qps_8c, 1)
+                                 if base_qps_8c else None),
+        vs_baseline_8core_proj=(round(best_qps / base_qps_8c, 3)
+                                if base_qps_8c else None),
         baseline_build_est_s=(round(base_build_est_s, 1)
                               if base_build_est_s else None),
+        baseline_single_query_p50_ms=(round(base_lat_p50_ms, 3)
+                                      if base_lat_p50_ms else None),
+        tpu_single_query_p50_ms=(round(tpu_lat_p50_ms, 3)
+                                 if tpu_lat_p50_ms else None),
         device=str(jax.devices()[0]),
     )
 

@@ -80,6 +80,24 @@ class Config:
     search_expand: int = 4
     #: Wavefront width during construction searches.
     construct_expand: int = 4
+    #: Serving entry strategy: S>0 replaces the upper-layer greedy
+    #: descent with ONE MXU scan over the first S points (a uniform
+    #: sample, since pids are a seeded shuffle) and starts the beam at
+    #: the ef nearest seeds.  Cuts the descent's sequential dispatches
+    #: and the zero-layer iterations to convergence; 0 = classic descent.
+    entry_seeds: int = 0
+    #: Width of one reverse-edge commit round: pending additions per
+    #: target re-selected together (None -> min(m0, 64)).
+    pend_cap: Optional[int] = None
+    #: Reverse-commit rounds per wave.  None/0 = auto (LOSSLESS): rounds
+    #: of pend_cap nearest-first additions per target, re-selected
+    #: between rounds (mirrors the reference's sequential per-edge
+    #: re-selection, lib.rs:484-496), looping until every pending
+    #: addition is consumed; rounds past the first cost nothing unless
+    #: some target actually overflowed.  An explicit value caps total
+    #: per-target capacity at pend_cap*rev_rounds; overflow beyond it is
+    #: dropped, counted (``reverse_drops``) and warned about.
+    rev_rounds: Optional[int] = None
 
     def __post_init__(self) -> None:
         if self.seed is None:

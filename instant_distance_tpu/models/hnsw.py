@@ -27,13 +27,14 @@ from ..ops.distance import resolve
 
 @functools.partial(jax.jit,
                    static_argnames=("metric_name", "ef", "m", "zero_links",
-                                    "max_iter_factor", "expand"))
+                                    "max_iter_factor", "expand",
+                                    "entry_seeds"))
 def _search_jit(queries, zero, upper, points, eligible, *, metric_name, ef,
-                m, zero_links, max_iter_factor, expand):
+                m, zero_links, max_iter_factor, expand, entry_seeds=0):
     return hnsw_search(queries, zero, upper, points, resolve(metric_name),
                        ef=ef, m=m, zero_links=zero_links,
                        max_iter_factor=max_iter_factor, expand=expand,
-                       eligible=eligible)
+                       eligible=eligible, entry_seeds=entry_seeds)
 
 
 @dataclasses.dataclass
@@ -130,6 +131,10 @@ class Hnsw:
         #: Neighbor-distance cache [N+1, m0] kept only while incremental
         #: adds are in use (reverse-edge re-selection needs it).
         self._adjd = None
+        #: Reverse-edge additions lost to per-wave pend_cap overflow
+        #: during build (0 = the batched commit was lossless; see
+        #: Config.pend_cap and ops/construct._group_reverse_edges).
+        self.reverse_drops = 0
 
     # -- construction ------------------------------------------------------
     @classmethod
@@ -156,7 +161,9 @@ class Hnsw:
         g: BuiltGraph = build_graph(points, config, progress=progress,
                                     checkpoint=checkpoint,
                                     checkpoint_every=checkpoint_every)
-        return cls(g.points, g.zero, g.layers, config), g.ids
+        index = cls(g.points, g.zero, g.layers, config)
+        index.reverse_drops = g.reverse_drops
+        return index, g.ids
 
     # -- incremental updates (beyond the reference: its index is immutable
     #    after build, SURVEY.md §5 "no add/delete API anywhere") -----------
@@ -225,7 +232,8 @@ class Hnsw:
                          else cfg.metric),
             ef=ef, m=cfg.m, zero_links=cfg.m0,
             max_iter_factor=cfg.max_iter_factor,
-            expand=getattr(cfg, "search_expand", 1))
+            expand=getattr(cfg, "search_expand", 1),
+            entry_seeds=min(getattr(cfg, "entry_seeds", 0), len(self)))
 
     def search_batch(self, queries, k: Optional[int] = None,
                      ef: Optional[int] = None, filter_mask=None):

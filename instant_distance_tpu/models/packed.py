@@ -25,15 +25,15 @@ from .hnsw import Hnsw, HnswMap
 @functools.partial(jax.jit, static_argnames=(
     "metric_name", "ef", "k", "max_iter_factor", "expand", "rerank",
     "n_upper"))
-def _packed_search_jit(queries, points, zero_pack, upper_flat, eligible, *,
-                       metric_name, ef, k, max_iter_factor, expand,
-                       rerank, n_upper):
+def _packed_search_jit(queries, points, zero_pack, upper_flat, eligible,
+                       seed_vecs, *, metric_name, ef, k, max_iter_factor,
+                       expand, rerank, n_upper):
     upper_packs = tuple(tuple(upper_flat[3 * i:3 * i + 3])
                         for i in range(n_upper))
     return pk.packed_search(
         queries, zero_pack, upper_packs, points, resolve(metric_name),
         ef=ef, k=k, max_iter_factor=max_iter_factor, expand=expand,
-        rerank=rerank, eligible=eligible)
+        rerank=rerank, eligible=eligible, seed_vecs=seed_vecs)
 
 
 class PackedHnsw:
@@ -103,9 +103,28 @@ class PackedHnsw:
             eligible = fm if eligible is None else (eligible & fm)
         return eligible
 
+    def _seeds(self, entry_seeds: Optional[int]):
+        """[S, D] bf16 seed matrix for the MXU entry scan (None when the
+        knob is 0/off).  pids are a seeded uniform shuffle of the input
+        (ops/construct.py mirrors lib.rs:256-270), so the first S points
+        are a uniform random sample — no extra sampling pass needed."""
+        s = (getattr(self.config, "entry_seeds", 0)
+             if entry_seeds is None else entry_seeds)
+        if not s:
+            return None
+        s = min(int(s), len(self))
+        cached = getattr(self, "_seed_cache", None)
+        if cached is None or cached.shape[0] != s:
+            cached = jnp.asarray(self.points[:s], jnp.bfloat16)
+            self._seed_cache = cached
+        return cached
+
     def search_batch(self, queries, k: Optional[int] = None,
                      ef: Optional[int] = None, rerank: bool = True,
-                     filter_mask=None):
+                     filter_mask=None, entry_seeds: Optional[int] = None):
+        """Batched query.  ``entry_seeds``: override Config.entry_seeds
+        (S>0 = one MXU scan over the first S points replaces the upper
+        -layer descent; 0 = classic descent; None = config default)."""
         cfg = self.config
         queries = jnp.asarray(queries, jnp.float32)
         if queries.ndim == 1:
@@ -115,7 +134,7 @@ class PackedHnsw:
         upper_flat = tuple(a for pack in self.upper_packs for a in pack)
         return _packed_search_jit(
             queries, self.points, tuple(self.zero_pack), upper_flat,
-            self._eligible(filter_mask),
+            self._eligible(filter_mask), self._seeds(entry_seeds),
             metric_name=(cfg.metric if isinstance(cfg.metric, str)
                          else cfg.metric),
             ef=ef, k=min(k, ef), max_iter_factor=cfg.max_iter_factor,

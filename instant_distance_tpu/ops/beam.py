@@ -81,7 +81,7 @@ def greedy_descent(queries, adj, points, metric: Metric, cur_d, cur_p,
 def beam_search_layer(queries, adj, points, metric: Metric,
                       beam_d, beam_p, beam_e,
                       links: int, max_iters: int, expand: int = 1,
-                      eligible=None):
+                      eligible=None, return_iters: bool = False):
     """One layer of batched best-first search with an ef-wide beam.
 
     The beam arrays must be sorted ascending by (dist, pid) with invalid
@@ -187,15 +187,16 @@ def beam_search_layer(queries, adj, points, metric: Metric,
         return (it + 1, fd[:, :ef], fp[:, :ef], fe[:, :ef].astype(bool),
                 rd, rp)
 
-    _, bd, bp, _, rd, rp = jax.lax.while_loop(
+    it, bd, bp, _, rd, rp = jax.lax.while_loop(
         cond, body, (jnp.int32(0), beam_d, beam_p, beam_e, rd0, rp0))
-    return (rd, rp) if filtered else (bd, bp)
+    out = (rd, rp) if filtered else (bd, bp)
+    return (*out, it) if return_iters else out
 
 
 def hnsw_search(queries, zero_adj, upper_adjs, points, metric: Metric,
                 ef: int, m: int, zero_links: int,
                 max_iter_factor: int = 8, greedy_max_iters: int = 512,
-                expand: int = 1, eligible=None):
+                expand: int = 1, eligible=None, entry_seeds: int = 0):
     """Full batched HNSW query: entry -> greedy descent -> zero-layer beam.
 
     Mirrors ``Hnsw::search`` (lib.rs:352-383): the entry point is always pid
@@ -208,18 +209,35 @@ def hnsw_search(queries, zero_adj, upper_adjs, points, metric: Metric,
       upper_adjs: tuple of [N_l, M] adjacency arrays ordered TOP FIRST.
       eligible: optional bool [N] result filter (see beam_search_layer);
         greedy descent ignores it (upper layers only route).
+      entry_seeds: S>0 replaces the descent with ONE MXU pairwise-distance
+        scan over points[:S] (a uniform sample — pids are a seeded
+        shuffle, and upper layers are pid prefixes), starting the beam
+        at the ef nearest seeds.  The descent's job is only to find a
+        good zero-layer entry (lib.rs:365-379); the seed scan finds a
+        better one without the descent's sequential gather dispatches.
     Returns:
       (dists [B, ef], pids [B, ef]) sorted ascending; invalid slots (inf, -1).
     """
     b = queries.shape[0]
-    d0 = metric.gathered(queries, points[jnp.zeros((b, 1), jnp.int32)])[:, 0]
-    cur_d, cur_p = d0, jnp.zeros(b, jnp.int32)
-    for adj in upper_adjs:
-        cur_d, cur_p = greedy_descent(
-            queries, adj, points, metric, cur_d, cur_p,
-            links=min(m, adj.shape[1]), max_iters=greedy_max_iters)
-    beam_d = jnp.full((b, ef), jnp.inf, jnp.float32).at[:, 0].set(cur_d)
-    beam_p = jnp.full((b, ef), -1, jnp.int32).at[:, 0].set(cur_p)
+    if entry_seeds:
+        sd = metric.pairwise(queries, points[:entry_seeds])     # [B, S]
+        n_init = min(ef, entry_seeds)
+        nd, np_ = jax.lax.top_k(-sd, n_init)
+        beam_d = jnp.full((b, ef), jnp.inf, jnp.float32)
+        beam_d = jax.lax.dynamic_update_slice(beam_d, -nd, (0, 0))
+        beam_p = jnp.full((b, ef), -1, jnp.int32)
+        beam_p = jax.lax.dynamic_update_slice(
+            beam_p, np_.astype(jnp.int32), (0, 0))
+    else:
+        d0 = metric.gathered(
+            queries, points[jnp.zeros((b, 1), jnp.int32)])[:, 0]
+        cur_d, cur_p = d0, jnp.zeros(b, jnp.int32)
+        for adj in upper_adjs:
+            cur_d, cur_p = greedy_descent(
+                queries, adj, points, metric, cur_d, cur_p,
+                links=min(m, adj.shape[1]), max_iters=greedy_max_iters)
+        beam_d = jnp.full((b, ef), jnp.inf, jnp.float32).at[:, 0].set(cur_d)
+        beam_p = jnp.full((b, ef), -1, jnp.int32).at[:, 0].set(cur_p)
     beam_e = jnp.zeros((b, ef), bool)
     return beam_search_layer(
         queries, zero_adj, points, metric, beam_d, beam_p, beam_e,

@@ -112,12 +112,15 @@ def _greedy_stacked(queries, stacked, offsets, n_upper, points,
 # reverse-edge grouping
 # ---------------------------------------------------------------------------
 
-def _group_reverse_edges(sel_d, sel_p, wave_pids, n: int, pend_cap: int):
+def _group_reverse_edges(sel_d, sel_p, wave_pids, n: int):
     """Group the wave's forward edges by target pid.
 
-    Returns (utgt [U], pend_d [U, A], pend_p [U, A]) where U = W * m0 and
-    slot u holds the u-th unique target with its pending (source, dist)
-    additions sorted by distance.  Empty slots have utgt = -1.
+    Returns (utgt [E], uid_s [E], rank [E], dist [E], src [E], valid [E])
+    where E = W * m0: the edges sorted by (target, distance), ``uid_s``
+    the dense segment id per edge (E for invalid), ``rank`` the
+    0-based position of the edge within its target's segment (nearest
+    first), and ``utgt[u]`` the target pid of segment u (-1 for empty
+    slots).  The caller windows ``rank`` into pend_cap-wide rounds.
     """
     w, m0 = sel_p.shape
     e = w * m0
@@ -139,13 +142,25 @@ def _group_reverse_edges(sel_d, sel_p, wave_pids, n: int, pend_cap: int):
     rank = pos - seg_pos                                         # [E]
 
     uid_s = jnp.where(valid, uid, e).astype(jnp.int32)
-    pend_p = jnp.full((e + 1, pend_cap), -1, jnp.int32).at[
-        uid_s, jnp.minimum(rank, pend_cap)].set(src, mode="drop")[:e]
-    pend_d = jnp.full((e + 1, pend_cap), jnp.inf, jnp.float32).at[
-        uid_s, jnp.minimum(rank, pend_cap)].set(dist, mode="drop")[:e]
     utgt = jnp.full(e + 1, -1, jnp.int32).at[
         jnp.where(first, uid_s, e)].set(key, mode="drop")[:e]
-    return utgt, pend_d, pend_p
+    return utgt, uid_s, rank, dist, src, valid
+
+
+def _pend_window(utgt, uid_s, rank, dist, src, valid, pend_cap: int, r: int):
+    """Materialize round ``r``'s pending arrays: each target's additions
+    with rank in [r*cap, (r+1)*cap), nearest first.  Targets with no
+    addition in the window get utgt -1 (their rows are not touched)."""
+    e = utgt.shape[0]
+    lo = r * pend_cap
+    in_win = valid & (rank >= lo) & (rank < lo + pend_cap)
+    slot = jnp.where(in_win, rank - lo, pend_cap)
+    pend_p = jnp.full((e + 1, pend_cap + 1), -1, jnp.int32).at[
+        uid_s, slot].set(src, mode="drop")[:e, :pend_cap]
+    pend_d = jnp.full((e + 1, pend_cap + 1), jnp.inf, jnp.float32).at[
+        uid_s, slot].set(dist, mode="drop")[:e, :pend_cap]
+    part = jnp.zeros(e + 1, bool).at[uid_s].max(in_win)[:e]
+    return jnp.where(part, utgt, -1), pend_d, pend_p
 
 
 # ---------------------------------------------------------------------------
@@ -155,13 +170,20 @@ def _group_reverse_edges(sel_d, sel_p, wave_pids, n: int, pend_cap: int):
 def wave_step_core(adj, adjd, wave_pids, points, stacked, offsets, n_upper,
                    zero_links, *, metric_name, efc: int, m: int, m0: int,
                    heuristic, rev_chunk: int, pend_cap: int,
-                   max_iter_factor: int, expand: int = 1):
+                   max_iter_factor: int, expand: int = 1,
+                   rev_rounds: int = 4, debug_iters: bool = False):
     """Insert one wave of points: search, select, commit edges.
 
     ``adj``/``adjd`` are [N+1, m0] (row N is the padded-lane write sink).
     ``heuristic`` is None or (extend_candidates, keep_pruned).
     ``zero_links`` (M*2 for a zero-layer wave, M above, lib.rs:445) is a
     traced scalar so one compiled program serves every layer.
+
+    Returns ``(adj, adjd, n_dropped)``; ``n_dropped`` counts reverse-edge
+    additions lost to the ``pend_cap`` overflow (see
+    ``_group_reverse_edges``) — builders accumulate it and warn.
+    ``debug_iters`` appends the wave search's beam iteration count to the
+    return tuple (diagnostics only).
     """
     metric = resolve(metric_name)
     n = adj.shape[0] - 1
@@ -176,10 +198,14 @@ def wave_step_core(adj, adjd, wave_pids, points, stacked, offsets, n_upper,
     beam_d = jnp.full((w, efc), jnp.inf, jnp.float32).at[:, 0].set(cur_d)
     beam_p = jnp.full((w, efc), -1, jnp.int32).at[:, 0].set(cur_p)
     beam_e = jnp.zeros((w, efc), bool)
-    cand_d, cand_p = beam_search_layer(
+    res = beam_search_layer(
         q, adj, points, metric, beam_d, beam_p, beam_e,
         links=zero_links, max_iters=max_iter_factor * efc + 16,
-        expand=expand)
+        expand=expand, return_iters=debug_iters)
+    if debug_iters:
+        cand_d, cand_p, search_iters = res
+    else:
+        cand_d, cand_p = res
 
     # --- intra-wave visibility ------------------------------------------
     # Sequential insertion lets point j find points i < j of the same
@@ -233,11 +259,26 @@ def wave_step_core(adj, adjd, wave_pids, points, stacked, offsets, n_upper,
     adjd = adjd.at[rows].set(sel_d.astype(adjd.dtype))
 
     # --- group + commit reverse edges (lib.rs:481-515) ------------------
-    utgt, pend_d, pend_p = _group_reverse_edges(
-        sel_d, sel_p, wave_pids, n, pend_cap)
+    # Grouping sorts the W*m0 edges by (target, distance); each target's
+    # pending additions are then committed in rounds of ``pend_cap``
+    # nearest-first, with the target's row RE-SELECTED between rounds —
+    # mirroring the reference's sequential per-edge re-selection, in
+    # nearest-first batches.  Rounds run under a lax.while_loop that
+    # stops as soon as no addition remains, so extra rounds cost nothing
+    # unless some target actually overflowed pend_cap.  ``rev_rounds``
+    # 0/None = auto: cap at ceil(W / pend_cap) rounds — a target can
+    # receive at most one addition per wave point (forward rows are
+    # duplicate-free), so this bound makes the commit LOSSLESS by
+    # construction.  An explicit rev_rounds is a hard cap; additions
+    # beyond rev_rounds*pend_cap are then dropped, and counted.
+    utgt, uid_s, rank, gdist, gsrc, gvalid = _group_reverse_edges(
+        sel_d, sel_p, wave_pids, n)
     u = utgt.shape[0]
+    max_rounds = rev_rounds if rev_rounds else -(-w // pend_cap)
+    n_dropped = jnp.sum(
+        gvalid & (rank >= max_rounds * pend_cap)).astype(jnp.int32)
 
-    def rev_chunk_fn(args):
+    def rev_chunk_fn(adj, adjd, args):
         ut, pd_, pp_ = args                                # [RC], [RC, A]
         ut_c = jnp.clip(ut, 0)
         row_p = adj[ut_c]
@@ -268,28 +309,49 @@ def wave_step_core(adj, adjd, wave_pids, points, stacked, offsets, n_upper,
         return sel_ops.select_heuristic(
             tq, cd, cp, cpts, metric, m0, keep_pruned=heuristic[1])
 
-    rc = min(rev_chunk, u)
-    n_chunks = (u + rc - 1) // rc
-    pad = n_chunks * rc - u
-    ut_p = jnp.pad(utgt, (0, pad), constant_values=-1).reshape(n_chunks, rc)
-    pd_p = jnp.pad(pend_d, ((0, pad), (0, 0)),
-                   constant_values=np.inf).reshape(n_chunks, rc, pend_cap)
-    pp_p = jnp.pad(pend_p, ((0, pad), (0, 0)),
-                   constant_values=-1).reshape(n_chunks, rc, pend_cap)
-    new_d, new_p = jax.lax.map(rev_chunk_fn, (ut_p, pd_p, pp_p))
-    new_d = new_d.reshape(-1, m0)[:u]
-    new_p = new_p.reshape(-1, m0)[:u]
+    def commit_round(adj, adjd, r):
+        ut_r, pend_d, pend_p = _pend_window(
+            utgt, uid_s, rank, gdist, gsrc, gvalid, pend_cap, r)
+        rc = min(rev_chunk, u)
+        n_chunks = (u + rc - 1) // rc
+        pad = n_chunks * rc - u
+        ut_p = jnp.pad(ut_r, (0, pad),
+                       constant_values=-1).reshape(n_chunks, rc)
+        pd_p = jnp.pad(pend_d, ((0, pad), (0, 0)),
+                       constant_values=np.inf).reshape(n_chunks, rc,
+                                                       pend_cap)
+        pp_p = jnp.pad(pend_p, ((0, pad), (0, 0)),
+                       constant_values=-1).reshape(n_chunks, rc, pend_cap)
+        new_d, new_p = jax.lax.map(
+            functools.partial(rev_chunk_fn, adj, adjd), (ut_p, pd_p, pp_p))
+        new_d = new_d.reshape(-1, m0)[:u]
+        new_p = new_p.reshape(-1, m0)[:u]
+        trows = jnp.where(ut_r >= 0, ut_r, n)
+        adj = adj.at[trows].set(new_p)
+        adjd = adjd.at[trows].set(new_d.astype(adjd.dtype))
+        return adj, adjd
 
-    trows = jnp.where(utgt >= 0, utgt, n)
-    adj = adj.at[trows].set(new_p)
-    adjd = adjd.at[trows].set(new_d.astype(adjd.dtype))
-    return adj, adjd
+    def round_cond(state):
+        r, _, _ = state
+        return (r < max_rounds) & jnp.any(gvalid & (rank >= r * pend_cap))
+
+    def round_body(state):
+        r, adj, adjd = state
+        adj, adjd = commit_round(adj, adjd, r)
+        return r + 1, adj, adjd
+
+    _, adj, adjd = jax.lax.while_loop(
+        round_cond, round_body, (jnp.int32(0), adj, adjd))
+    if debug_iters:
+        return adj, adjd, n_dropped, search_iters
+    return adj, adjd, n_dropped
 
 
 _wave_step = functools.partial(
     jax.jit,
     static_argnames=("metric_name", "efc", "m", "m0", "heuristic",
-                     "rev_chunk", "pend_cap", "max_iter_factor", "expand"),
+                     "rev_chunk", "pend_cap", "max_iter_factor", "expand",
+                     "rev_rounds", "debug_iters"),
     donate_argnames=("adj", "adjd"))(wave_step_core)
 
 
@@ -413,35 +475,70 @@ def extend_graph(points, zero, layers, new_points, config: Config,
     heur = (None if cfg.heuristic is None else
             (cfg.heuristic.extend_candidates, cfg.heuristic.keep_pruned))
     n_upper = jnp.int32(len(uppers))
+    pend_cap, rev_rounds = _rev_params(cfg, m0)
+    drops = jnp.int32(0)
     done = 0
     for s, e in _wave_schedule(n_old, n_total, cfg.wave_size):
         w = e - s
         wb = _bucket(w, cfg.wave_size)
         wave = np.full(wb, -1, np.int32)
         wave[:w] = np.arange(s, e, dtype=np.int32)
-        adj, adjd = _wave_step(
+        adj, adjd, dd = _wave_step(
             adj, adjd, jnp.asarray(wave), all_pts, stacked,
             jnp.asarray(offsets), n_upper, jnp.int32(m0),
             metric_name=metric_name, efc=cfg.ef_construction,
             m=m, m0=m0, heuristic=heur,
-            rev_chunk=2048, pend_cap=min(m0, 64),
+            rev_chunk=2048, pend_cap=pend_cap, rev_rounds=rev_rounds,
             max_iter_factor=cfg.max_iter_factor,
             expand=getattr(cfg, "construct_expand", 1))
+        drops = drops + dd
         done += w
         if progress is not None:
             progress(done, a, "add")
+    _warn_reverse_drops(int(drops), pend_cap, rev_rounds)
     return all_pts, adj[:n_total], adjd
+
+
+def _rev_params(cfg, m0: int):
+    """Per-wave reverse-commit knobs: (pend_cap, rev_rounds).
+
+    rev_rounds 0 = auto: the commit while_loop runs until every pending
+    addition is consumed (capped at ceil(W/pend_cap) rounds, which is
+    always enough) — lossless by construction.  An explicit rev_rounds
+    caps total capacity at pend_cap*rev_rounds per target per wave;
+    overflow beyond that is dropped, counted and warned about."""
+    pend_cap = getattr(cfg, "pend_cap", None) or min(m0, 64)
+    rev_rounds = getattr(cfg, "rev_rounds", None) or 0
+    return pend_cap, rev_rounds
+
+
+def _warn_reverse_drops(n_dropped: int, pend_cap: int,
+                        rev_rounds: int = 1) -> None:
+    if n_dropped > 0:
+        import warnings
+
+        warnings.warn(
+            f"{n_dropped} reverse-edge additions exceeded the per-wave "
+            f"commit capacity pend_cap*rev_rounds="
+            f"{pend_cap}*{rev_rounds} and were dropped (the farthest "
+            "per target).  Recall is usually unaffected, but consider "
+            "raising Config(rev_rounds=...) or lowering wave_size.",
+            stacklevel=3)
 
 
 class BuiltGraph:
     """Result of construction: the dense arrays an index is made of."""
 
-    def __init__(self, points, zero, layers, ids, config):
+    def __init__(self, points, zero, layers, ids, config,
+                 reverse_drops: int = 0):
         self.points = points      # [N, D] device array, pid order
         self.zero = zero          # [N, m0] int32
         self.layers = layers      # list: layers[l-1] = level l, [end_l, m]
         self.ids = ids            # np [N]: original index -> pid
         self.config = config
+        #: Reverse-edge additions lost to per-wave pend_cap overflow
+        #: (0 = the batched commit was lossless for this build).
+        self.reverse_drops = reverse_drops
 
 
 def build_graph(points, config: Config, progress=None,
@@ -510,10 +607,15 @@ def build_graph(points, config: Config, progress=None,
     heur = (None if cfg.heuristic is None else
             (cfg.heuristic.extend_candidates, cfg.heuristic.keep_pruned))
 
+    pend_cap, rev_rounds = _rev_params(cfg, m0)
+
     # ---- checkpoint/resume ------------------------------------------------
-    ckpt_key = f"v2:{n}:{pts.shape[1]}:{cfg.seed}:{cfg.ef_construction}:" \
-               f"{m}:{cfg.ml}:{heur}:{cfg.wave_size}"
+    ckpt_key = f"v3:{n}:{pts.shape[1]}:{cfg.seed}:{cfg.ef_construction}:" \
+               f"{m}:{cfg.ml}:{heur}:{cfg.wave_size}:{pend_cap}:" \
+               f"{rev_rounds}:{cfg.max_iter_factor}:" \
+               f"{getattr(cfg, 'construct_expand', 1)}"
     resume_li, resume_s, waves_done = -1, -1, 0
+    drops = jnp.int32(0)
     if checkpoint is not None:
         import os
         if os.path.exists(checkpoint):
@@ -525,6 +627,8 @@ def build_graph(points, config: Config, progress=None,
                     offsets = z["offsets"].copy()
                     write_off = int(z["write_off"])
                     resume_li, resume_s = int(z["li"]), int(z["s"])
+                    if "drops" in z.files:
+                        drops = jnp.int32(int(z["drops"]))
 
     def save_ckpt(li, s):
         import os
@@ -532,7 +636,8 @@ def build_graph(points, config: Config, progress=None,
         with open(tmp, "wb") as f:
             np.savez(f, key=np.array(ckpt_key), adj=np.asarray(adj),
                      adjd=np.asarray(adjd), stacked=np.asarray(stacked),
-                     offsets=offsets, write_off=write_off, li=li, s=s)
+                     offsets=offsets, write_off=write_off, li=li, s=s,
+                     drops=int(drops))
         os.replace(tmp, checkpoint)
 
     layers: list = []
@@ -548,14 +653,15 @@ def build_graph(points, config: Config, progress=None,
             wb = _bucket(w, cfg.wave_size)
             wave = np.full(wb, -1, np.int32)
             wave[:w] = np.arange(s, e, dtype=np.int32)
-            adj, adjd = _wave_step(
+            adj, adjd, dd = _wave_step(
                 adj, adjd, jnp.asarray(wave), dev_points, stacked,
                 jnp.asarray(offsets), n_upper, jnp.int32(zero_links),
                 metric_name=metric_name, efc=cfg.ef_construction,
                 m=m, m0=m0, heuristic=heur,
-                rev_chunk=2048, pend_cap=min(m0, 64),
+                rev_chunk=2048, pend_cap=pend_cap, rev_rounds=rev_rounds,
                 max_iter_factor=cfg.max_iter_factor,
                 expand=getattr(cfg, "construct_expand", 1))
+            drops = drops + dd
             done += w
             waves_done += 1
             if progress is not None:
@@ -586,4 +692,7 @@ def build_graph(points, config: Config, progress=None,
         if os.path.exists(checkpoint):
             os.remove(checkpoint)  # build complete
     layers.reverse()  # store as reference does: layers[l-1] = level l
-    return BuiltGraph(dev_points, adj[:n], layers, ids, cfg)
+    reverse_drops = int(drops)  # one device readback, post-pipeline
+    _warn_reverse_drops(reverse_drops, pend_cap, rev_rounds)
+    return BuiltGraph(dev_points, adj[:n], layers, ids, cfg,
+                      reverse_drops=reverse_drops)

@@ -129,7 +129,8 @@ def greedy_descent_packed(queries, ids, codes, scales, cur_d, cur_p,
 
 def beam_search_packed(queries, ids, codes, scales,
                        beam_d, beam_p, beam_e, max_iters: int,
-                       expand: int = 1, eligible=None):
+                       expand: int = 1, eligible=None,
+                       return_iters: bool = False):
     """Packed-layer beam search: same wavefront semantics as
     ops.beam.beam_search_layer, with inline approx distances.
 
@@ -206,31 +207,77 @@ def beam_search_packed(queries, ids, codes, scales,
         return (it + 1, fd[:, :ef], fp[:, :ef], fe[:, :ef].astype(bool),
                 rd, rp)
 
-    _, bd, bp, _, rd, rp = jax.lax.while_loop(
+    it, bd, bp, _, rd, rp = jax.lax.while_loop(
         cond, body, (jnp.int32(0), beam_d, beam_p, beam_e, rd0, rp0))
-    return (rd, rp) if filtered else (bd, bp)
+    out = (rd, rp) if filtered else (bd, bp)
+    return (*out, it) if return_iters else out
+
+
+def seed_entry(queries, seed_vecs, n_init: int):
+    """MXU seed scan: the TPU-native replacement for upper-layer descent.
+
+    The reference's upper layers exist only to find a good zero-layer
+    entry point (lib.rs:365-379: ef=1 greedy per layer).  That descent is
+    latency-bound on TPU — each hop is one scattered row-gather dispatch
+    for the whole batch.  Because this build's pids are a seeded random
+    shuffle of the input (lib.rs:256-270 semantics), any pid prefix is a
+    uniform random sample, and the upper layers ARE prefixes — so one
+    batched matmul against the first S points finds a *better* entry than
+    the descent (the nearest of S~thousands of samples, not a greedy
+    walk's local minimum) in one MXU pass.
+
+    ``seed_vecs``: [S, D] dequantized seed matrix (bf16; ranking-only).
+    Returns (d [B, n_init], p [B, n_init]): the n_init nearest seeds by
+    approximate squared-L2, sorted ascending, pids = row indices < S.
+    """
+    q = queries.astype(jnp.bfloat16)
+    # rank by  -2 q.s + |s|^2  (|q|^2 is constant per query); f32 accum
+    qs = jax.lax.dot_general(
+        q, seed_vecs, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                 # [B, S]
+    sn = jnp.sum(seed_vecs.astype(jnp.float32) ** 2, axis=1)  # [S]
+    scores = sn[None, :] - 2.0 * qs
+    nd, np_ = jax.lax.top_k(-scores, n_init)                 # [B, n_init]
+    qn = jnp.sum(queries.astype(jnp.float32) ** 2, axis=1)
+    return -nd + qn[:, None], np_.astype(jnp.int32)
 
 
 def packed_search(queries, zero_pack, upper_packs, points, metric: Metric,
                   ef: int, k: int, max_iter_factor: int = 8,
-                  expand: int = 4, rerank: bool = True, eligible=None):
+                  expand: int = 4, rerank: bool = True, eligible=None,
+                  seed_vecs=None):
     """Full packed query: approx descent + approx beam + exact rerank.
 
     ``zero_pack``/``upper_packs``: (ids, codes, scales) tuples (uppers
     ordered top first).  ``points`` are the exact f32 vectors used only
     for the final rerank (ef rows per query).  ``eligible`` (bool [N],
     optional) filters results without affecting traversal.
+
+    ``seed_vecs`` ([S, D] bf16, optional): when given, entry is one MXU
+    scan over these seed vectors (``seed_entry``) instead of the
+    layer-by-layer greedy descent — the beam starts at the ef nearest
+    of S uniform samples, cutting both the descent dispatches and the
+    zero-layer iterations to convergence.
     Returns (dists [B, k], pids [B, k]) with exact distances.
     """
     b = queries.shape[0]
-    d0 = metric.gathered(queries, points[jnp.zeros((b, 1), jnp.int32)])[:, 0]
-    cur_d, cur_p = d0, jnp.zeros(b, jnp.int32)
-    for (uids, ucodes, uscales) in upper_packs:
-        cur_d, cur_p = greedy_descent_packed(
-            queries, uids, ucodes, uscales, cur_d, cur_p)
+    if seed_vecs is not None:
+        n_init = min(ef, seed_vecs.shape[0])
+        sd, sp = seed_entry(queries, seed_vecs, n_init)
+        beam_d = jnp.full((b, ef), jnp.inf, jnp.float32)
+        beam_d = jax.lax.dynamic_update_slice(beam_d, sd, (0, 0))
+        beam_p = jnp.full((b, ef), -1, jnp.int32)
+        beam_p = jax.lax.dynamic_update_slice(beam_p, sp, (0, 0))
+    else:
+        d0 = metric.gathered(
+            queries, points[jnp.zeros((b, 1), jnp.int32)])[:, 0]
+        cur_d, cur_p = d0, jnp.zeros(b, jnp.int32)
+        for (uids, ucodes, uscales) in upper_packs:
+            cur_d, cur_p = greedy_descent_packed(
+                queries, uids, ucodes, uscales, cur_d, cur_p)
+        beam_d = jnp.full((b, ef), jnp.inf, jnp.float32).at[:, 0].set(cur_d)
+        beam_p = jnp.full((b, ef), -1, jnp.int32).at[:, 0].set(cur_p)
     zids, zcodes, zscales = zero_pack
-    beam_d = jnp.full((b, ef), jnp.inf, jnp.float32).at[:, 0].set(cur_d)
-    beam_p = jnp.full((b, ef), -1, jnp.int32).at[:, 0].set(cur_p)
     beam_e = jnp.zeros((b, ef), bool)
     bd, bp = beam_search_packed(
         queries, zids, zcodes, zscales, beam_d, beam_p, beam_e,

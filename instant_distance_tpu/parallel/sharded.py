@@ -60,6 +60,9 @@ class ShardedHnsw:
         #: Tombstone mask over global ids (host-side, [n_global] bool).
         self._alive = None
         self._search_fn = None
+        #: Reverse-edge additions lost to per-wave pend_cap overflow
+        #: during build (0 unless set by ``build``).
+        self.reverse_drops = 0
 
     @property
     def n_shards(self) -> int:
@@ -92,12 +95,20 @@ class ShardedHnsw:
     @classmethod
     def build(cls, points, config: Optional[Config] = None,
               mesh: Optional[Mesh] = None, progress=None,
-              values=None) -> "ShardedHnsw":
+              values=None, checkpoint: Optional[str] = None,
+              checkpoint_every: int = 64) -> "ShardedHnsw":
         """Shard the point set over the mesh and build all shard graphs
         in parallel, one wave step for every shard per device step.
 
         ``values`` (optional): per-point payloads, indexed by original
         input order — exactly the id space ``search_batch`` returns.
+
+        ``checkpoint``: optional path; the full mesh build state (all
+        shards' adjacency + distance cache + snapshot buffer + schedule
+        position) is saved there every ``checkpoint_every`` waves and
+        resumed from on restart — same insurance as ``build_graph``'s
+        single-chip checkpoint, for the biggest builds where it matters
+        most.  Resume is bit-exact (the wave schedule is deterministic).
         """
         config = config or Config()
         if values is not None and len(values) != len(points):
@@ -127,10 +138,13 @@ class ShardedHnsw:
         shard_pts = shard_pts[:, order]
         shard_gids = shard_gids[:, order]
 
-        zero, layers = _build_sharded(shard_pts, config, mesh,
-                                      progress=progress)
-        return cls(shard_pts, zero, layers, shard_gids, config, mesh,
-                   values=values)
+        zero, layers, reverse_drops = _build_sharded(
+            shard_pts, config, mesh, progress=progress,
+            checkpoint=checkpoint, checkpoint_every=checkpoint_every)
+        idx = cls(shard_pts, zero, layers, shard_gids, config, mesh,
+                  values=values)
+        idx.reverse_drops = reverse_drops
+        return idx
 
     # ------------------------------------------------------------------
     def _make_search(self, ef: int, n_layers: int, filtered: bool):
@@ -326,9 +340,12 @@ class ShardedPackedHnsw:
 # ---------------------------------------------------------------------------
 
 def _build_sharded(shard_pts: np.ndarray, config: Config, mesh: Mesh,
-                   progress=None):
+                   progress=None, checkpoint: Optional[str] = None,
+                   checkpoint_every: int = 64):
     """Run the wave construction loop with every shard advancing in
-    lockstep: one shard_map'd wave step per wave, all devices busy."""
+    lockstep: one shard_map'd wave step per wave, all devices busy.
+
+    Returns ``(zero [S, n_s, m0], snapshots, reverse_drops)``."""
     cfg = config
     s, n_s, dim = shard_pts.shape
     m, m0 = cfg.m, cfg.m0
@@ -361,10 +378,14 @@ def _build_sharded(shard_pts: np.ndarray, config: Config, mesh: Mesh,
     heur = (None if cfg.heuristic is None else
             (cfg.heuristic.extend_candidates, cfg.heuristic.keep_pruned))
 
+    from ..ops.construct import _rev_params
+
+    pend_cap, rev_rounds = _rev_params(cfg, m0)
     core = functools.partial(
         wave_step_core, metric_name=cfg.metric,
         efc=cfg.ef_construction, m=m, m0=m0,
-        heuristic=heur, rev_chunk=2048, pend_cap=min(m0, 64),
+        heuristic=heur, rev_chunk=2048, pend_cap=pend_cap,
+        rev_rounds=rev_rounds,
         max_iter_factor=cfg.max_iter_factor,
         expand=getattr(cfg, "construct_expand", 1))
     vc = jax.vmap(core, in_axes=(0, 0, None, 0, 0, None, None, None))
@@ -372,33 +393,91 @@ def _build_sharded(shard_pts: np.ndarray, config: Config, mesh: Mesh,
         vc, mesh=mesh,
         in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(None), P(SHARD_AXIS),
                   P(SHARD_AXIS), P(None), P(), P()),
-        out_specs=(P(SHARD_AXIS), P(SHARD_AXIS)), check_vma=False),
+        out_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
+        check_vma=False),
         donate_argnums=(0, 1))
 
     offsets = np.zeros(16, np.int32)
     write_off = 0
     snap_list = []
+    drops = 0
+
+    # ---- checkpoint/resume ------------------------------------------------
+    ckpt_key = f"sharded-v2:{s}:{n_s}:{dim}:{cfg.seed}:" \
+               f"{cfg.ef_construction}:{m}:{cfg.ml}:{heur}:" \
+               f"{cfg.wave_size}:{pend_cap}:{rev_rounds}:" \
+               f"{cfg.max_iter_factor}:{getattr(cfg, 'construct_expand', 1)}"
+    resume_li, resume_ws, waves_done = -1, -1, 0
+    if checkpoint is not None:
+        import os
+        if os.path.exists(checkpoint):
+            with np.load(checkpoint, allow_pickle=False) as z:
+                if str(z["key"]) == ckpt_key:
+                    shard = NamedSharding(mesh, P(SHARD_AXIS))
+                    adj = jax.device_put(jnp.asarray(z["adj"]), shard)
+                    adjd = jax.device_put(jnp.asarray(z["adjd"]), shard)
+                    stacked = jax.device_put(
+                        jnp.asarray(z["stacked"]), shard)
+                    offsets = z["offsets"].copy()
+                    write_off = int(z["write_off"])
+                    drops = int(z["drops"])
+                    resume_li, resume_ws = int(z["li"]), int(z["ws"])
+
+    def save_ckpt(li, ws):
+        import os
+        tmp = checkpoint + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, key=np.array(ckpt_key), adj=np.asarray(adj),
+                     adjd=np.asarray(adjd), stacked=np.asarray(stacked),
+                     offsets=offsets, write_off=write_off,
+                     drops=int(drops), li=li, ws=ws)
+        os.replace(tmp, checkpoint)
+
     done = 0
     total = s * n_s
     for li, (layer, start, end) in enumerate(ranges):
         zero_links = m0 if layer == 0 else m
         for ws, we in _wave_schedule(start, end, cfg.wave_size):
+            if (li, ws) <= (resume_li, resume_ws):
+                done += (we - ws) * s
+                continue  # already inserted in the checkpointed state
             w = we - ws
             wb = _bucket(w, cfg.wave_size)
             wave = np.full(wb, -1, np.int32)
             wave[:w] = np.arange(ws, we, dtype=np.int32)
-            adj, adjd = step(adj, adjd,
-                             jax.device_put(jnp.asarray(wave), repl),
-                             dev_pts, stacked,
-                             jax.device_put(jnp.asarray(offsets), repl),
-                             jnp.int32(li), jnp.int32(zero_links))
+            adj, adjd, dd = step(adj, adjd,
+                                 jax.device_put(jnp.asarray(wave), repl),
+                                 dev_pts, stacked,
+                                 jax.device_put(jnp.asarray(offsets), repl),
+                                 jnp.int32(li), jnp.int32(zero_links))
+            drops = drops + jnp.sum(dd)
             done += w * s
+            waves_done += 1
             if progress is not None:
                 progress(done, total, f"layer {layer}")
+            if checkpoint is not None and waves_done % checkpoint_every == 0:
+                drops = int(drops)  # sync before snapshotting state
+                save_ckpt(li, ws)
         if layer > 0:
+            end_p = _pal(end)
+            if li < resume_li:
+                # layer completed before the checkpoint: its snapshot is
+                # already in the restored stacked buffer — slice it out
+                off_phys = int(offsets[li]) // pack
+
+                def _slice_snap(st):  # per-device blocks [1, ...]
+                    sp = jax.lax.dynamic_slice(
+                        st, (0, off_phys, 0),
+                        (1, end_p // pack, m * pack))
+                    return sp.reshape(1, end_p, m)[:, :end]
+
+                snap = jax.jit(jax.shard_map(
+                    _slice_snap, mesh=mesh, in_specs=P(SHARD_AXIS),
+                    out_specs=P(SHARD_AXIS), check_vma=False))(stacked)
+                snap_list.append(snap)
+                continue
             snap = adj[:, :end, :m]
             snap_list.append(snap)
-            end_p = _pal(end)
             off_phys = write_off // pack
 
             def _pack_update(st, sn):  # per-device blocks [1, ...]
@@ -415,5 +494,13 @@ def _build_sharded(shard_pts: np.ndarray, config: Config, mesh: Mesh,
             offsets[li] = write_off
             write_off += end_p
 
+    if checkpoint is not None:
+        import os
+        if os.path.exists(checkpoint):
+            os.remove(checkpoint)  # build complete
     snap_list.reverse()
-    return adj[:, :n_s], snap_list
+    from ..ops.construct import _warn_reverse_drops
+
+    reverse_drops = int(drops)
+    _warn_reverse_drops(reverse_drops, pend_cap, rev_rounds)
+    return adj[:, :n_s], snap_list, reverse_drops

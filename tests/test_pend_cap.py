@@ -1,0 +1,82 @@
+"""Reverse-edge pend_cap audit (VERDICT r1, weak #4 / next #6).
+
+The batched reverse-edge commit groups one wave's forward edges by
+target and commits them in nearest-first rounds of ``pend_cap``, with
+the target row re-selected between rounds.  The reference processes
+every reverse edge (lib.rs:481-515); by default the round loop runs
+until every pending addition is consumed, so the batched commit is
+LOSSLESS — and when a user caps rounds explicitly (``rev_rounds``),
+any overflow drop must be counted and warned about, never silent.
+"""
+
+import warnings
+
+import numpy as np
+import pytest
+
+from instant_distance_tpu.config import Config
+from instant_distance_tpu.models.brute import BruteForce
+from instant_distance_tpu.models.hnsw import Hnsw
+
+
+def _clustered(rng, n, d, n_clusters, sigma):
+    centers = rng.random((n_clusters, d), dtype=np.float32)
+    pts = (centers[rng.integers(0, n_clusters, n)]
+           + sigma * rng.standard_normal((n, d)).astype(np.float32))
+    return pts.astype(np.float32)
+
+
+def test_tiny_cap_counts_drops_and_warns():
+    """With a single 2-wide commit round on tightly clustered data,
+    overflow MUST occur — and must be counted and warned about, never
+    silently lost."""
+    rng = np.random.default_rng(71)
+    pts = _clustered(rng, 1024, 8, 4, 0.01)
+    cfg = Config(seed=71, wave_size=512, pend_cap=2, rev_rounds=1)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        index, _ = Hnsw.build(pts, cfg)
+    assert index.reverse_drops > 0
+    assert any("pend_cap" in str(x.message) for x in w)
+
+
+def test_default_cap_lossless_clustered_large_wave():
+    """Default configuration (rev_rounds=None -> auto while_loop),
+    adversarial clustering, max-size wave: the commit must be lossless
+    (drop counter == 0) BY CONSTRUCTION — the round loop runs until
+    every pending addition is consumed.  This is the 'no silent bridge
+    loss' guarantee for the default configuration.  (A single 64-wide
+    round drops 2651 edges on this data — see git history.)"""
+    rng = np.random.default_rng(73)
+    # 16 tight clusters of 256 points — far denser than SIFT-like data.
+    pts = _clustered(rng, 4096, 8, 16, 0.02)
+    cfg = Config(seed=73, wave_size=4096)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        index, ids = Hnsw.build(pts, cfg)
+    assert index.reverse_drops == 0, (
+        f"default pend_cap dropped {index.reverse_drops} reverse edges")
+    assert not any("pend_cap" in str(x.message) for x in w)
+
+    # and the graph still meets the recall floor on this data
+    queries = _clustered(rng, 32, 8, 16, 0.02)
+    gt = np.asarray(BruteForce(pts).search_batch(queries, 10)[1])
+    d, p = index.search_batch(queries, k=10, ef=64)
+    inv = np.empty_like(ids)
+    inv[ids] = np.arange(len(ids))
+    got = np.asarray(p)
+    recall = np.mean([
+        len(set(got[i].tolist()) & set(ids[gt[i]].tolist())) / 10
+        for i in range(len(queries))])
+    assert recall >= 0.9, f"recall {recall} below floor"
+
+
+def test_multi_round_commit_recovers_tiny_cap():
+    """The same tiny per-round cap that overflows with one round is
+    lossless once rev_rounds provides enough total capacity — the
+    multi-round commit really does consume the overflow."""
+    rng = np.random.default_rng(77)
+    pts = _clustered(rng, 1024, 8, 4, 0.01)
+    cfg = Config(seed=77, wave_size=512, pend_cap=32, rev_rounds=16)
+    index, _ = Hnsw.build(pts, cfg)
+    assert index.reverse_drops == 0
