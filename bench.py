@@ -54,12 +54,25 @@ def main() -> None:
                                n_clusters=max(100, n // 100), seed=3)
     pts, queries = data[:n], data[n:]
 
-    cfg = Config(seed=3, ef_search=ef, m=32, wave_size=4096)
+    build_mode = os.environ.get("INSTANT_TPU_BENCH_BUILD_MODE", "auto")
+    cfg = Config(seed=3, ef_search=ef, m=32, wave_size=4096,
+                 construct_mode=build_mode)
 
     stats = BuildStats(log_every=max(10_000, n // 10))
     t0 = time.time()
-    index, ids = Hnsw.build(pts, cfg, progress=stats)
-    jax.block_until_ready(index.zero)
+    try:
+        index, ids = Hnsw.build(pts, cfg, progress=stats)
+    except Exception as exc:  # insurance: auto resolves to the Pallas
+        # fused scan on TPU; fall back to the graph-walk builder rather
+        # than fail the whole bench on a kernel issue
+        print(f"[bench] {build_mode} build failed ({exc}); "
+              "retrying construct_mode='beam'", file=sys.stderr)
+        cfg = Config(seed=3, ef_search=ef, m=32, wave_size=4096,
+                     construct_mode="beam")
+        index, ids = Hnsw.build(pts, cfg, progress=stats)
+    # honest completion barrier: block_until_ready is NOT one through
+    # the axon relay — read back one device element instead
+    np.asarray(index.zero[n - 1, 0])
     build_s = time.time() - t0
     print(f"[bench] tpu build {n}x{dim}: {build_s:.1f}s "
           f"({n / build_s:,.0f} pts/s)", file=sys.stderr)
@@ -152,7 +165,7 @@ def main() -> None:
 
             t0 = time.time()
             packed = PackedHnsw.from_index(index, pack_links=32)
-            jax.block_until_ready(packed.zero_pack[1])
+            np.asarray(packed.zero_pack[1][0, 0, 0])  # honest barrier
             pack_s = time.time() - t0
             # seeded entry (one MXU seed scan replaces the upper-layer
             # descent) is the packed path's serving default; recall is
@@ -186,7 +199,7 @@ def main() -> None:
         force_ready(sq)
         t0 = time.time()
         scan = ScanIndex(np.asarray(index.points))
-        jax.block_until_ready(scan.norms)
+        np.asarray(scan.norms[0])  # honest barrier
         quant_s = time.time() - t0
         st = time_fn(lambda q: scan.search_batch(
                          q, k=k, ef=16, approx_topk=True),
@@ -220,6 +233,25 @@ def main() -> None:
             print(f"[bench] fused scan path failed: {exc}",
                   file=sys.stderr)
 
+    # Int-epilogue fused scan (shared scales: epilogue = one int32 sub)
+    fused_int_qps = fused_int_recall = None
+    if scan_qps:
+        try:
+            ikw = dict(fused="bucket_int", qb=512, cb=4096, lsub=32)
+            it_ = time_fn(lambda q: scan.search_batch(
+                              q, k=k, ef=16, **ikw),
+                          sq, warmup=2, iters=20)
+            fused_int_qps = scan_batch / it_.per_call_s
+            fd, fp = scan.search_batch(queries[:n_queries], k=k, ef=16,
+                                       **ikw)
+            fused_int_recall = recall_at_k(np.asarray(fp), gt_i, k)
+            print(f"[bench] tpu scan-fused-int: {fused_int_qps:,.0f} "
+                  f"qps, recall@10={fused_int_recall:.4f}",
+                  file=sys.stderr)
+        except Exception as exc:
+            print(f"[bench] fused-int scan path failed: {exc}",
+                  file=sys.stderr)
+
     # headline: best QPS among serving paths at recall >= the host
     # baseline's operating point (>= 0.95); recall ties break by QPS
     candidates = []
@@ -231,6 +263,10 @@ def main() -> None:
         candidates.append((scan_qps, scan_recall, "scan"))
     if fused_qps and fused_recall is not None and fused_recall >= 0.95:
         candidates.append((fused_qps, fused_recall, "scan_fused"))
+    if fused_int_qps and fused_int_recall is not None \
+            and fused_int_recall >= 0.95:
+        candidates.append((fused_int_qps, fused_int_recall,
+                           "scan_fused_int"))
     if not candidates:  # nothing met the floor: report exact, un-gated
         candidates = [(qps, recall, "exact")]
     best_qps, best_recall, best_path = max(candidates)
@@ -281,6 +317,11 @@ def main() -> None:
         scan_fused_qps=round(fused_qps, 1) if fused_qps else None,
         scan_fused_recall_at_10=(round(fused_recall, 4)
                                  if fused_recall is not None else None),
+        scan_fused_int_qps=(round(fused_int_qps, 1)
+                            if fused_int_qps else None),
+        scan_fused_int_recall_at_10=(round(fused_int_recall, 4)
+                                     if fused_int_recall is not None
+                                     else None),
         baseline_qps=round(base_qps, 1) if base_qps else None,
         baseline_cores=n_cores,
         baseline_qps_8core_proj=(round(base_qps_8c, 1)

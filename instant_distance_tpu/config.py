@@ -86,6 +86,18 @@ class Config:
     #: the ef nearest seeds.  Cuts the descent's sequential dispatches
     #: and the zero-layer iterations to convergence; 0 = classic descent.
     entry_seeds: int = 0
+    #: Dtype of the candidate-pairwise matrix driving Alg. 4's bridging
+    #: comparisons ("bfloat16" halves the reverse-commit's dominant HBM
+    #: traffic; "float32" = reference-exact comparisons).  Query-ranking
+    #: distances are unaffected (always f32/HIGHEST).
+    select_pd_dtype: str = "bfloat16"
+    #: Construction wave-search mode: "scan" finds each wave's candidates
+    #: with an exact-rerank int8 MXU scan of the inserted prefix (the
+    #: TPU-native default — ~50x cheaper than walking the graph and
+    #: strictly better candidates); "beam" searches the pre-wave graph
+    #: like the reference (required for custom callable metrics);
+    #: "auto" = scan for named metrics, beam otherwise.
+    construct_mode: str = "auto"
     #: Width of one reverse-edge commit round: pending additions per
     #: target re-selected together (None -> min(m0, 64)).
     pend_cap: Optional[int] = None

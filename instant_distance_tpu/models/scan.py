@@ -179,6 +179,46 @@ def _scan_search_jit(queries, codes, scales, norms, points, eligible, *,
 
 @functools.partial(
     jax.jit,
+    static_argnames=("ef", "k", "lsub", "qb", "cb", "inner", "rerank",
+                     "interpret", "metric_name"))
+def _fused_int_search_jit(queries, codes_t, norms_r, sg, points,
+                          eligible, *, metric_name, ef, k, lsub, qb, cb,
+                          inner, rerank, interpret):
+    """Shared-scale int-epilogue fused scan (ops/scan_kernel.py:
+    fused_scan_bucket_int): queries quantized with ONE batch scale so
+    the kernel's per-element epilogue is a single int32 subtract."""
+    from ..ops.scan_kernel import fused_scan_bucket_int
+
+    big = np.int32(np.iinfo(np.int32).max // 2)
+    qs = jnp.maximum(jnp.max(jnp.abs(queries)), 1e-30) / 127.0
+    qc = jnp.clip(jnp.round(queries / qs), -127, 127).astype(jnp.int8)
+    denom = 2.0 * qs * sg
+    w = jnp.where(jnp.isfinite(norms_r),
+                  jnp.round(norms_r / denom), big).astype(jnp.int32)
+    if eligible is not None:
+        npad = norms_r.shape[1] - eligible.shape[0]
+        el = jnp.pad(eligible, (0, npad))
+        w = jnp.where(el[None, :], w, big)
+    od, oi = fused_scan_bucket_int(qc, w, codes_t, lsub=lsub, qb=qb,
+                                   cb=cb, inner=inner,
+                                   interpret=interpret)
+    # int ranks < 2^24 convert exactly; approx_min_k needs floats
+    md, nidx = jax.lax.approx_min_k(od.astype(jnp.float32),
+                                    min(ef, od.shape[1]))
+    bi = jnp.take_along_axis(oi, nidx, axis=1)
+    bi = jnp.where(md < big // 2, bi, -1)
+    if not rerank:
+        # rank = (|p|^2 - 2 q.p) / denom  ->  approx sq-L2 in metric
+        # units needs + |q|^2 (cf. _scan_search_jit's rerank=False)
+        qn2 = jnp.sum(queries * queries, axis=1, keepdims=True)
+        bd = jnp.where(bi >= 0, md * denom + qn2, jnp.inf)
+        bd, bi = jax.lax.sort((bd, bi), dimension=1, num_keys=2)
+        return bd[:, :k], bi[:, :k]
+    return rerank_exact(queries, points, bi, resolve(metric_name), k)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("metric_name", "ef", "k", "lsub", "topt", "qb",
                      "cb", "inner", "rerank", "interpret", "mode"))
 def _fused_search_jit(queries, codes_t, scales_r, norms_r, points,
@@ -311,6 +351,27 @@ class ScanIndex:
             self._fused = (cb, jnp.asarray(codes_t), scales_r, norms_r)
         return self._fused[1:]
 
+    def _fused_int_arrays(self, cb: int):
+        """Shared-scale layout for the int-epilogue kernel: ONE global
+        point scale (vs per-point in ``codes``) so ranking needs no
+        per-element scale multiply.  Resolution loss for small-norm
+        points is repaired by the exact rerank."""
+        cached = getattr(self, "_fused_int", None)
+        if cached is None or cached[0] != cb:
+            pts = jnp.asarray(self.points, jnp.float32)
+            sg = jnp.maximum(jnp.max(jnp.abs(pts)), 1e-30) / 127.0
+            codes_g = jnp.clip(jnp.round(pts / sg), -127,
+                               127).astype(jnp.int8)
+            deq = codes_g.astype(jnp.float32) * sg
+            norms_g = jnp.sum(deq * deq, axis=1)
+            n = len(self)
+            npad = (-n) % cb
+            codes_t = jnp.pad(codes_g, ((0, npad), (0, 0))).T
+            norms_r = jnp.pad(norms_g, (0, npad),
+                              constant_values=np.inf)[None, :]
+            self._fused_int = (cb, codes_t, norms_r, sg)
+        return self._fused_int[1:]
+
     def search_batch(self, queries, k: int = 10, ef: Optional[int] = None,
                      rerank: bool = True, filter_mask=None,
                      approx_topk: bool = False, tile: int = 0,
@@ -321,14 +382,18 @@ class ScanIndex:
         ``ef`` is the rerank depth (how many scan candidates get exact
         distances); recall@k saturates around ef = 3-4x k.
 
-        ``fused=True``/``"topt"``/``"bucket"`` routes through the Pallas
-        fused-scan kernel (ops/scan_kernel.py): the MXU matmul and
-        candidate selection run in one kernel, so the score matrix never
-        reaches HBM — the fastest path for sqeuclidean/euclidean on TPU.
-        ``"bucket"`` emits all stride-group minima and does the top-ef
-        in XLA (cheapest kernel); ``topt``/``lsub`` are the per-block
-        candidate count and stride-group width, ``qb``/``cb`` override
-        the kernel's query/point block sizes.
+        ``fused=True``/``"topt"``/``"bucket"``/``"bucket_int"`` routes
+        through the Pallas fused-scan kernel (ops/scan_kernel.py): the
+        MXU matmul and candidate selection run in one kernel, so the
+        score matrix never reaches HBM — the fastest path for
+        sqeuclidean/euclidean on TPU.  ``"bucket"`` emits all
+        stride-group minima and does the top-ef in XLA (cheapest f32
+        kernel); ``"bucket_int"`` additionally collapses the epilogue
+        to one int32 subtract via shared point/query scales (fastest;
+        rerank repairs the shared-scale resolution loss).
+        ``topt``/``lsub`` are the per-block candidate count and
+        stride-group width, ``qb``/``cb`` override the kernel's
+        query/point block sizes.
         """
         queries = jnp.asarray(queries, jnp.float32)
         if queries.ndim == 1:
@@ -341,7 +406,8 @@ class ScanIndex:
         if fused and metric_name in ("sqeuclidean", "euclidean") \
                 and len(self) >= cb * inner:
             mode = fused if isinstance(fused, str) else "bucket"
-            if mode == "bucket" and lsub == 16 and cb == self._FUSED_CB:
+            if mode.startswith("bucket") and lsub == 16 \
+                    and cb == self._FUSED_CB:
                 lsub = 32  # measured best: 128-lane output tiles
             qb = qb or (512 if queries.shape[0] >= 512
                         else self._FUSED_QB)
@@ -351,13 +417,24 @@ class ScanIndex:
                  [queries, jnp.broadcast_to(queries[:1],
                                             (pad, queries.shape[1]))])
                  if pad else queries)
-            codes_t, scales_r, norms_r = self._fused_arrays(cb * inner)
-            d, i = _fused_search_jit(
-                q, codes_t, scales_r, norms_r, self.points,
-                self._eligible(filter_mask),
-                metric_name="sqeuclidean", ef=ef, k=k, lsub=lsub,
-                topt=topt, qb=qb, cb=cb, inner=inner, rerank=rerank,
-                mode=mode, interpret=jax.default_backend() == "cpu")
+            interp = jax.default_backend() == "cpu"
+            if mode == "bucket_int":
+                codes_t, norms_r, sg = self._fused_int_arrays(cb * inner)
+                d, i = _fused_int_search_jit(
+                    q, codes_t, norms_r, sg, self.points,
+                    self._eligible(filter_mask),
+                    metric_name="sqeuclidean", ef=ef, k=k, lsub=lsub,
+                    qb=qb, cb=cb, inner=inner, rerank=rerank,
+                    interpret=interp)
+            else:
+                codes_t, scales_r, norms_r = self._fused_arrays(
+                    cb * inner)
+                d, i = _fused_search_jit(
+                    q, codes_t, scales_r, norms_r, self.points,
+                    self._eligible(filter_mask),
+                    metric_name="sqeuclidean", ef=ef, k=k, lsub=lsub,
+                    topt=topt, qb=qb, cb=cb, inner=inner, rerank=rerank,
+                    mode=mode, interpret=interp)
             if pad:
                 d, i = d[:b], i[:b]
         else:

@@ -168,10 +168,13 @@ def _pend_window(utgt, uid_s, rank, dist, src, valid, pend_cap: int, r: int):
 # ---------------------------------------------------------------------------
 
 def wave_step_core(adj, adjd, wave_pids, points, stacked, offsets, n_upper,
-                   zero_links, *, metric_name, efc: int, m: int, m0: int,
+                   zero_links, codes=None, scales=None, norms=None, *,
+                   metric_name, efc: int, m: int, m0: int,
                    heuristic, rev_chunk: int, pend_cap: int,
                    max_iter_factor: int, expand: int = 1,
-                   rev_rounds: int = 4, debug_iters: bool = False):
+                   rev_rounds: int = 4, search_mode: str = "beam",
+                   pd_dtype: str = "bfloat16",
+                   debug_iters: bool = False):
     """Insert one wave of points: search, select, commit edges.
 
     ``adj``/``adjd`` are [N+1, m0] (row N is the padded-lane write sink).
@@ -179,33 +182,110 @@ def wave_step_core(adj, adjd, wave_pids, points, stacked, offsets, n_upper,
     ``zero_links`` (M*2 for a zero-layer wave, M above, lib.rs:445) is a
     traced scalar so one compiled program serves every layer.
 
+    ``search_mode``:
+      * ``"beam"`` — batched graph beam search of the pre-wave graph
+        (the reference's Alg. 1 descent + Alg. 2 search, lib.rs:447-463).
+        Row-gather bound: each iteration issues W*expand*m0 scattered
+        point-row fetches at ~11 ns/row, x ~30-50 iterations per wave.
+      * ``"scan"`` — MXU int8 prefix scan (requires ``codes``/``scales``/
+        ``norms`` from ``ops.packed.quantize_points``): the wave's
+        candidates are the TRUE top-efc of the already-inserted prefix,
+        found by one quantized matmul over pids < wave start + an exact
+        f32 rerank.  The reference searches the graph only because a CPU
+        cannot afford the exhaustive scan (lib.rs:447: "Find the entry
+        point..."); on TPU the scan is ~50x cheaper than walking, and
+        strictly better candidates -> same-or-better graphs (Alg. 4
+        selection sees the exact neighborhood).
+
     Returns ``(adj, adjd, n_dropped)``; ``n_dropped`` counts reverse-edge
     additions lost to the ``pend_cap`` overflow (see
     ``_group_reverse_edges``) — builders accumulate it and warn.
-    ``debug_iters`` appends the wave search's beam iteration count to the
-    return tuple (diagnostics only).
+    ``debug_iters`` appends the wave search's beam iteration count and
+    the reverse-commit rounds executed to the return tuple (diagnostics
+    only).
     """
     metric = resolve(metric_name)
     n = adj.shape[0] - 1
     w = wave_pids.shape[0]
     wvalid = wave_pids >= 0
     q = points[jnp.clip(wave_pids, 0)]                       # [W, D]
+    if q.dtype != jnp.float32:
+        q = q.astype(jnp.float32)
 
-    # --- search the pre-wave graph (Alg. 1's descent, lib.rs:447-463) ---
-    d0 = metric.gathered(q, points[jnp.zeros((w, 1), jnp.int32)])[:, 0]
-    cur_d, cur_p = _greedy_stacked(q, stacked, offsets, n_upper, points,
-                                   metric, m, d0, jnp.zeros(w, jnp.int32))
-    beam_d = jnp.full((w, efc), jnp.inf, jnp.float32).at[:, 0].set(cur_d)
-    beam_p = jnp.full((w, efc), -1, jnp.int32).at[:, 0].set(cur_p)
-    beam_e = jnp.zeros((w, efc), bool)
-    res = beam_search_layer(
-        q, adj, points, metric, beam_d, beam_p, beam_e,
-        links=zero_links, max_iters=max_iter_factor * efc + 16,
-        expand=expand, return_iters=debug_iters)
-    if debug_iters:
-        cand_d, cand_p, search_iters = res
+    search_iters = jnp.int32(0)
+    if search_mode == "scan_fused":
+        # --- Pallas fused bucket scan over the inserted prefix ----------
+        from ..models.scan import _quantize_queries
+        from .scan_kernel import fused_scan_bucket
+
+        filled = wave_pids[0]  # builders put the lowest pid in lane 0
+        npad = norms.shape[1]
+        prefix = jax.lax.broadcasted_iota(
+            jnp.int32, (1, npad), 1) < filled
+        nm = jnp.where(prefix, norms, jnp.inf)
+        qc, qs = _quantize_queries(q)
+        qb = max(32, min(256, w))      # int8 sublane minimum is 32
+        qpad = (-w) % qb
+        if qpad:
+            qc = jnp.concatenate(
+                [qc, jnp.broadcast_to(qc[:1], (qpad, qc.shape[1]))])
+            qs = jnp.concatenate([qs, jnp.broadcast_to(qs[:1], (qpad,))])
+        od, oi = fused_scan_bucket(qc, qs[:, None], codes, scales, nm,
+                                   lsub=_FUSED_LSUB, qb=qb, cb=_FUSED_CB,
+                                   interpret=jax.default_backend() == "cpu")
+        od, oi = od[:w], oi[:w]
+        k_sel = min(efc, od.shape[1])
+        # candidate quality feeds graph quality: merge at a tighter
+        # recall target than serving (which has the rerank safety net)
+        md, nidx = jax.lax.approx_min_k(od, k_sel, recall_target=0.99)
+        cand_p = jnp.take_along_axis(oi, nidx, axis=1)
+        cand_p = jnp.where(jnp.isfinite(md), cand_p, -1)
+        if k_sel < efc:
+            cand_p = jnp.pad(cand_p, ((0, 0), (0, efc - k_sel)),
+                             constant_values=-1)
+        # exact rerank (selection runs on true distances, like the
+        # reference's Search results)
+        cand_d = metric.gathered(q, points[jnp.clip(cand_p, 0)])
+        cand_d = jnp.where(cand_p >= 0, cand_d, jnp.inf)
+        cand_d, cand_p = jax.lax.sort((cand_d, cand_p), dimension=1,
+                                      num_keys=2)
+    elif search_mode == "scan":
+        # --- MXU prefix scan: exact top-efc of pids < wave start --------
+        from ..models.scan import scan_candidates
+
+        filled = wave_pids[0]  # builders put the lowest pid in lane 0
+        prefix = jax.lax.broadcasted_iota(
+            jnp.int32, (n, 1), 0)[:, 0] < filled
+        cand_ad, cand_p = scan_candidates(
+            q, codes, scales, norms, prefix,
+            metric_name=(metric_name if isinstance(metric_name, str)
+                         else "sqeuclidean"),
+            ef=efc, chunk=min(1 << 17, n), approx_topk=True)
+        # exact rerank (selection runs on true distances, like the
+        # reference's Search results)
+        cand_d = metric.gathered(q, points[jnp.clip(cand_p, 0)])
+        cand_d = jnp.where(cand_p >= 0, cand_d, jnp.inf)
+        cand_d, cand_p = jax.lax.sort((cand_d, cand_p), dimension=1,
+                                      num_keys=2)
     else:
-        cand_d, cand_p = res
+        # --- graph beam search (Alg. 1 descent, lib.rs:447-463) ---------
+        d0 = metric.gathered(
+            q, points[jnp.zeros((w, 1), jnp.int32)])[:, 0]
+        cur_d, cur_p = _greedy_stacked(q, stacked, offsets, n_upper,
+                                       points, metric, m, d0,
+                                       jnp.zeros(w, jnp.int32))
+        beam_d = jnp.full((w, efc), jnp.inf, jnp.float32).at[:, 0].set(
+            cur_d)
+        beam_p = jnp.full((w, efc), -1, jnp.int32).at[:, 0].set(cur_p)
+        beam_e = jnp.zeros((w, efc), bool)
+        res = beam_search_layer(
+            q, adj, points, metric, beam_d, beam_p, beam_e,
+            links=zero_links, max_iters=max_iter_factor * efc + 16,
+            expand=expand, return_iters=debug_iters)
+        if debug_iters:
+            cand_d, cand_p, search_iters = res
+        else:
+            cand_d, cand_p = res
 
     # --- intra-wave visibility ------------------------------------------
     # Sequential insertion lets point j find points i < j of the same
@@ -227,11 +307,15 @@ def wave_step_core(adj, adjd, wave_pids, points, stacked, offsets, n_upper,
         bad = ((iota_r == iota_c) | (wave_pids < 0)[None, :]
                | (wave_pids < 0)[:, None])
         pw = jnp.where(bad, jnp.inf, pw)
-        peer_pid = jnp.broadcast_to(wave_pids[None, :], (w, w))
-        spd, spp = jax.lax.sort((pw, peer_pid), dimension=1, num_keys=2)
         k_peers = min(m0, w)
-        peer_d, peer_p = spd[:, :k_peers], spp[:, :k_peers]
-        peer_p = jnp.where(jnp.isfinite(peer_d), peer_p, -1)
+        # top-k_peers, not a full [W, W] sort: the bitonic sort of a
+        # 4096-wide row is ~100x the work of approx_min_k and was a
+        # dominant fixed cost of every wave.  Ties break by column
+        # index == ascending pid (wave pids are sorted), matching the
+        # Candidate order the full sort used.
+        peer_d, pidx = jax.lax.approx_min_k(pw, k_peers)
+        peer_p = jnp.where(jnp.isfinite(peer_d),
+                           wave_pids[jnp.clip(pidx, 0)], -1)
         cd = jnp.concatenate([cand_d, peer_d], axis=1)
         cp = jnp.concatenate([cand_p, peer_p], axis=1)
         cand_d, cand_p = jax.lax.sort((cd, cp), dimension=1, num_keys=2)
@@ -249,7 +333,7 @@ def wave_step_core(adj, adjd, wave_pids, points, stacked, offsets, n_upper,
         cand_pts = points[jnp.clip(cand_p, 0)]
         sel_d, sel_p = sel_ops.select_heuristic(
             q, cand_d, cand_p, cand_pts, metric, m0,
-            keep_pruned=keep_pruned)
+            keep_pruned=keep_pruned, pd_dtype=jnp.dtype(pd_dtype))
     sel_p = jnp.where(wvalid[:, None], sel_p, -1)
     sel_d = jnp.where(sel_p >= 0, sel_d, jnp.inf)
 
@@ -307,28 +391,48 @@ def wave_step_core(adj, adjd, wave_pids, points, stacked, offsets, n_upper,
         tq = points[ut_c]
         cpts = points[jnp.clip(cp, 0)]
         return sel_ops.select_heuristic(
-            tq, cd, cp, cpts, metric, m0, keep_pruned=heuristic[1])
+            tq, cd, cp, cpts, metric, m0, keep_pruned=heuristic[1],
+            pd_dtype=jnp.dtype(pd_dtype))
+
+    # active segments occupy the dense-uid prefix [0, n_active), so the
+    # chunk loop is bounded by the traced active count — the E = W*m0
+    # slot table is mostly padding (unique targets << slots), and the
+    # empty tail chunks' gathers would otherwise dominate commit time
+    n_active = jnp.max(jnp.where(gvalid, uid_s + 1, 0))
+    rc = min(rev_chunk, u)
+    n_chunks = (u + rc - 1) // rc
+    pad = n_chunks * rc - u
 
     def commit_round(adj, adjd, r):
         ut_r, pend_d, pend_p = _pend_window(
             utgt, uid_s, rank, gdist, gsrc, gvalid, pend_cap, r)
-        rc = min(rev_chunk, u)
-        n_chunks = (u + rc - 1) // rc
-        pad = n_chunks * rc - u
-        ut_p = jnp.pad(ut_r, (0, pad),
-                       constant_values=-1).reshape(n_chunks, rc)
+        ut_p = jnp.pad(ut_r, (0, pad), constant_values=-1)
         pd_p = jnp.pad(pend_d, ((0, pad), (0, 0)),
-                       constant_values=np.inf).reshape(n_chunks, rc,
-                                                       pend_cap)
-        pp_p = jnp.pad(pend_p, ((0, pad), (0, 0)),
-                       constant_values=-1).reshape(n_chunks, rc, pend_cap)
-        new_d, new_p = jax.lax.map(
-            functools.partial(rev_chunk_fn, adj, adjd), (ut_p, pd_p, pp_p))
-        new_d = new_d.reshape(-1, m0)[:u]
-        new_p = new_p.reshape(-1, m0)[:u]
-        trows = jnp.where(ut_r >= 0, ut_r, n)
-        adj = adj.at[trows].set(new_p)
-        adjd = adjd.at[trows].set(new_d.astype(adjd.dtype))
+                       constant_values=np.inf)
+        pp_p = jnp.pad(pend_p, ((0, pad), (0, 0)), constant_values=-1)
+        nch = (n_active + rc - 1) // rc  # traced chunk bound
+
+        # chunks write disjoint target rows and each chunk reads only
+        # its own targets' rows, so chunk-sequential commit is exactly
+        # the old all-at-once scatter
+        def chunk_cond(st):
+            ci, _, _ = st
+            return ci < nch
+
+        def chunk_body(st):
+            ci, adj, adjd = st
+            off = ci * rc
+            ut = jax.lax.dynamic_slice(ut_p, (off,), (rc,))
+            pd_ = jax.lax.dynamic_slice(pd_p, (off, 0), (rc, pend_cap))
+            pp_ = jax.lax.dynamic_slice(pp_p, (off, 0), (rc, pend_cap))
+            new_d, new_p = rev_chunk_fn(adj, adjd, (ut, pd_, pp_))
+            trows = jnp.where(ut >= 0, ut, n)
+            adj = adj.at[trows].set(new_p)
+            adjd = adjd.at[trows].set(new_d.astype(adjd.dtype))
+            return ci + 1, adj, adjd
+
+        _, adj, adjd = jax.lax.while_loop(
+            chunk_cond, chunk_body, (jnp.int32(0), adj, adjd))
         return adj, adjd
 
     def round_cond(state):
@@ -340,10 +444,10 @@ def wave_step_core(adj, adjd, wave_pids, points, stacked, offsets, n_upper,
         adj, adjd = commit_round(adj, adjd, r)
         return r + 1, adj, adjd
 
-    _, adj, adjd = jax.lax.while_loop(
+    rounds_run, adj, adjd = jax.lax.while_loop(
         round_cond, round_body, (jnp.int32(0), adj, adjd))
     if debug_iters:
-        return adj, adjd, n_dropped, search_iters
+        return adj, adjd, n_dropped, search_iters, rounds_run
     return adj, adjd, n_dropped
 
 
@@ -351,8 +455,62 @@ _wave_step = functools.partial(
     jax.jit,
     static_argnames=("metric_name", "efc", "m", "m0", "heuristic",
                      "rev_chunk", "pend_cap", "max_iter_factor", "expand",
-                     "rev_rounds", "debug_iters"),
+                     "rev_rounds", "search_mode", "pd_dtype",
+                     "debug_iters"),
     donate_argnames=("adj", "adjd"))(wave_step_core)
+
+
+def _resolve_search_mode(cfg, metric_name) -> str:
+    """Config.construct_mode -> concrete wave-search mode.
+
+    "auto" picks the MXU prefix scan whenever the metric is a named
+    matmul form; on a real TPU with an L2-form metric the scan runs as
+    the fused Pallas bucket kernel ("scan_fused" — the XLA streamed
+    scan's [W, chunk] score matrix costs ~10x the kernel in HBM
+    traffic).  Custom callables fall back to the graph beam search,
+    which only needs ``Metric.gathered``."""
+    mode = getattr(cfg, "construct_mode", "auto") or "auto"
+    if mode not in ("auto", "beam", "scan", "scan_fused"):
+        raise ValueError(
+            f"construct_mode must be one of auto/beam/scan/scan_fused, "
+            f"got {mode!r}")
+    if mode == "auto":
+        if not isinstance(metric_name, str):
+            return "beam"
+        mode = "scan"
+    if (mode == "scan" and jax.default_backend() != "cpu"
+            and metric_name in ("sqeuclidean", "euclidean")):
+        return "scan_fused"
+    return mode
+
+
+_FUSED_CB = 4096   # fused construction scan: point block (xN lsub=32)
+_FUSED_LSUB = 32
+
+
+def _quantize_for_scan(points, fused: bool = False):
+    """Scan-mode wave-search operands (per-point symmetric int8, the
+    same scheme the serving scan uses).
+
+    flat  (fused=False): (codes [N, D] int8, scales [N], norms [N]) for
+        the XLA streamed ``scan_candidates``.
+    fused (fused=True):  (codes_t [D, Npad] int8, scales [1, Npad],
+        norms [1, Npad] with +inf padding) for the Pallas bucket kernel
+        — transposed and padded to the kernel's point-block multiple.
+    """
+    from .packed import quantize_points
+
+    codes, scales = quantize_points(points)
+    deq = codes.astype(jnp.float32) * scales[:, None]
+    norms = jnp.sum(deq * deq, axis=1)
+    if not fused:
+        return codes, scales, norms
+    n = codes.shape[0]
+    npad = (-n) % _FUSED_CB
+    codes_t = jnp.pad(codes, ((0, npad), (0, 0))).T
+    scales_r = jnp.pad(scales, (0, npad))[None, :]
+    norms_r = jnp.pad(norms, (0, npad), constant_values=np.inf)[None, :]
+    return codes_t, scales_r, norms_r
 
 
 # ---------------------------------------------------------------------------
@@ -476,6 +634,12 @@ def extend_graph(points, zero, layers, new_points, config: Config,
             (cfg.heuristic.extend_candidates, cfg.heuristic.keep_pruned))
     n_upper = jnp.int32(len(uppers))
     pend_cap, rev_rounds = _rev_params(cfg, m0)
+    search_mode = _resolve_search_mode(cfg, metric_name)
+    if search_mode.startswith("scan"):
+        codes, cscales, cnorms = _quantize_for_scan(
+            all_pts, fused=search_mode == "scan_fused")
+    else:
+        codes = cscales = cnorms = None
     drops = jnp.int32(0)
     done = 0
     for s, e in _wave_schedule(n_old, n_total, cfg.wave_size):
@@ -486,11 +650,14 @@ def extend_graph(points, zero, layers, new_points, config: Config,
         adj, adjd, dd = _wave_step(
             adj, adjd, jnp.asarray(wave), all_pts, stacked,
             jnp.asarray(offsets), n_upper, jnp.int32(m0),
+            codes, cscales, cnorms,
             metric_name=metric_name, efc=cfg.ef_construction,
             m=m, m0=m0, heuristic=heur,
-            rev_chunk=2048, pend_cap=pend_cap, rev_rounds=rev_rounds,
+            rev_chunk=8192, pend_cap=pend_cap, rev_rounds=rev_rounds,
             max_iter_factor=cfg.max_iter_factor,
-            expand=getattr(cfg, "construct_expand", 1))
+            expand=getattr(cfg, "construct_expand", 1),
+            search_mode=search_mode,
+            pd_dtype=getattr(cfg, "select_pd_dtype", "bfloat16"))
         drops = drops + dd
         done += w
         if progress is not None:
@@ -506,8 +673,13 @@ def _rev_params(cfg, m0: int):
     addition is consumed (capped at ceil(W/pend_cap) rounds, which is
     always enough) — lossless by construction.  An explicit rev_rounds
     caps total capacity at pend_cap*rev_rounds per target per wave;
-    overflow beyond that is dropped, counted and warned about."""
-    pend_cap = getattr(cfg, "pend_cap", None) or min(m0, 64)
+    overflow beyond that is dropped, counted and warned about.
+
+    Default pend_cap min(m0, 32): the commit's cost is dominated by the
+    [RC, C, C] candidate-pairwise traffic with C = m0 + pend_cap, so a
+    narrower round is cheaper per pass; lossless-ness is unaffected
+    (the auto round loop just runs again for the rare hot target)."""
+    pend_cap = getattr(cfg, "pend_cap", None) or min(m0, 32)
     rev_rounds = getattr(cfg, "rev_rounds", None) or 0
     return pend_cap, rev_rounds
 
@@ -608,12 +780,19 @@ def build_graph(points, config: Config, progress=None,
             (cfg.heuristic.extend_candidates, cfg.heuristic.keep_pruned))
 
     pend_cap, rev_rounds = _rev_params(cfg, m0)
+    search_mode = _resolve_search_mode(cfg, metric_name)
+    if search_mode.startswith("scan"):
+        codes, cscales, cnorms = _quantize_for_scan(
+            dev_points, fused=search_mode == "scan_fused")
+    else:
+        codes = cscales = cnorms = None
 
     # ---- checkpoint/resume ------------------------------------------------
     ckpt_key = f"v3:{n}:{pts.shape[1]}:{cfg.seed}:{cfg.ef_construction}:" \
                f"{m}:{cfg.ml}:{heur}:{cfg.wave_size}:{pend_cap}:" \
                f"{rev_rounds}:{cfg.max_iter_factor}:" \
-               f"{getattr(cfg, 'construct_expand', 1)}"
+               f"{getattr(cfg, 'construct_expand', 1)}:{search_mode}:" \
+               f"{getattr(cfg, 'select_pd_dtype', 'bfloat16')}"
     resume_li, resume_s, waves_done = -1, -1, 0
     drops = jnp.int32(0)
     if checkpoint is not None:
@@ -656,11 +835,14 @@ def build_graph(points, config: Config, progress=None,
             adj, adjd, dd = _wave_step(
                 adj, adjd, jnp.asarray(wave), dev_points, stacked,
                 jnp.asarray(offsets), n_upper, jnp.int32(zero_links),
+                codes, cscales, cnorms,
                 metric_name=metric_name, efc=cfg.ef_construction,
                 m=m, m0=m0, heuristic=heur,
-                rev_chunk=2048, pend_cap=pend_cap, rev_rounds=rev_rounds,
+                rev_chunk=8192, pend_cap=pend_cap, rev_rounds=rev_rounds,
                 max_iter_factor=cfg.max_iter_factor,
-                expand=getattr(cfg, "construct_expand", 1))
+                expand=getattr(cfg, "construct_expand", 1),
+                search_mode=search_mode,
+                pd_dtype=getattr(cfg, "select_pd_dtype", "bfloat16"))
             drops = drops + dd
             done += w
             waves_done += 1

@@ -125,7 +125,11 @@ class Metric:
         return f(q, p)
 
     # -- pairwise among gathered sets: p [B, C, D] -> [B, C, C] ------------
-    def self_pairwise(self, p):
+    def self_pairwise(self, p, out_dtype=None):
+        """``out_dtype=bfloat16`` halves the HBM traffic of the [B, C, C]
+        result — used by Alg. 4 selection, whose keep/block comparisons
+        tolerate bf16 resolution (query-ranking distances do NOT: they
+        stay f32/HIGHEST, see ``pairwise``)."""
         p = _f32(p)
         if self.matmul_form:
             n = jnp.sum(p * p, axis=-1)  # [B, C]
@@ -133,12 +137,14 @@ class Metric:
                 "bid,bjd->bij", p, p, preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
             d2 = jnp.maximum(n[:, :, None] - 2.0 * cross + n[:, None, :], 0.0)
-            return jnp.sqrt(d2) if self.name == "euclidean" else d2
-        if self._broadcasts:
-            return self.fn(p[:, :, None, :], p[:, None, :, :])
-        f = jax.vmap(jax.vmap(jax.vmap(self.fn, in_axes=(None, 0)),
-                              in_axes=(0, None)))
-        return f(p, p)
+            d2 = jnp.sqrt(d2) if self.name == "euclidean" else d2
+        elif self._broadcasts:
+            d2 = self.fn(p[:, :, None, :], p[:, None, :, :])
+        else:
+            f = jax.vmap(jax.vmap(jax.vmap(self.fn, in_axes=(None, 0)),
+                                  in_axes=(0, None)))
+            d2 = f(p, p)
+        return d2 if out_dtype is None else d2.astype(out_dtype)
 
 
 def resolve(metric: MetricLike) -> Metric:

@@ -144,6 +144,107 @@ def fused_scan_bucket(qc, qs, codes_t, scales, norms, *, lsub: int = 16,
     return od, oi
 
 
+def _bucket_scan_int_kernel(qc_ref, w_ref, codes_ref, od_ref, oi_ref, *,
+                            lsub: int, cb: int, inner: int):
+    """Int-epilogue bucket variant (shared scales).
+
+    With ONE point scale s and ONE query scale qs for the whole
+    call, squared-L2 ranking collapses to integers:
+
+        dist_ij = |p_j|^2 - 2 qs s (q_i . c_j)  ~  rank_ij = W_j - dot_ij
+        with W_j = round(|p_j|^2 / (2 qs s))  (precomputed, int32)
+
+    so the per-element epilogue is ONE int32 subtract instead of the
+    f32 convert + two multiplies + subtract of ``_bucket_scan_kernel``
+    — the VPU epilogue is what keeps that kernel at ~2x its roofline
+    (docs/performance.md).  The group-min loop runs on int32.  Shared
+    scales cost quantization resolution on points/queries far from the
+    max norm; the caller's exact f32 rerank repairs ordering, so end
+    recall matches the per-point-scale kernel at SIFT1M shapes (see
+    tests/test_scan_int.py).  Ineligible/padded points carry
+    W_j = INT32_MAX/2 (bigger than any real rank).
+    """
+    qb = qc_ref.shape[0]
+    ct = cb // lsub
+    col = jax.lax.broadcasted_iota(jnp.int32, (qb, ct), 1)
+    big = jnp.int32(_I32MAX // 2)
+    for j in range(inner):
+        sl = slice(j * cb, (j + 1) * cb)
+        dot = jax.lax.dot_general(
+            qc_ref[:], codes_ref[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)              # [QB, CB]
+        rank = w_ref[:, sl] - dot                          # ONE int sub
+        m = rank[:, :ct]
+        am = jnp.zeros((qb, ct), jnp.int32)
+        for t in range(1, lsub):
+            blk = rank[:, t * ct:(t + 1) * ct]
+            upd = blk < m
+            am = jnp.where(upd, t, am)
+            m = jnp.minimum(m, blk)
+        base = (pl.program_id(0) * inner + j) * cb
+        od_ref[:, j * ct:(j + 1) * ct] = m
+        oi_ref[:, j * ct:(j + 1) * ct] = jnp.where(
+            m < big // 2, base + am * ct + col, -1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("lsub", "qb", "cb", "inner", "interpret"))
+def fused_scan_bucket_int(qc, w, codes_t, *, lsub: int = 32,
+                          qb: int = 512, cb: int = 4096, inner: int = 1,
+                          interpret: bool = False):
+    """Int-epilogue fused scan (see ``_bucket_scan_int_kernel``).
+
+    Args:
+      qc:      [B, D] int8 query codes, ONE shared scale qs.
+      w:       [1, N] int32: round(|p_hat_j|^2 / (2 qs s)), with
+               INT32_MAX/2 marking ineligible/padded points.  One row
+               serves every query because qs is shared — that is the
+               point of the variant.
+      codes_t: [D, N] int8 point codes, ONE shared scale s.
+    Returns (rank [B, N/lsub] int32, ids [B, N/lsub]) block-major like
+    :func:`fused_scan_bucket`; rank values are monotone in squared-L2
+    per query row (rank = W - dot, both from the shared-scale space).
+    """
+    b, d = qc.shape
+    n = codes_t.shape[1]
+    cbo = cb * inner
+    ct = cb // lsub
+    assert b % qb == 0 and n % cbo == 0 and cb % lsub == 0
+    if not interpret and ct % 128 != 0:
+        raise ValueError(f"cb/lsub = {ct} must be a multiple of 128")
+    nc = n // cbo
+    grid = (nc, b // qb)
+
+    kernel = functools.partial(_bucket_scan_int_kernel, lsub=lsub, cb=cb,
+                               inner=inner)
+    od, oi = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((qb, d), lambda ic, iq: (iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cbo), lambda ic, iq: (0, ic),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, cbo), lambda ic, iq: (0, ic),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((qb, inner * ct), lambda ic, iq: (iq, ic),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qb, inner * ct), lambda ic, iq: (iq, ic),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, nc * inner * ct), jnp.int32),
+            jax.ShapeDtypeStruct((b, nc * inner * ct), jnp.int32),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(qc, w, codes_t)
+    return od, oi
+
+
 def _fused_scan_kernel(qc_ref, qs_ref, codes_ref, sc_ref, no_ref,
                        od_ref, oi_ref, *, lsub: int, topt: int,
                        is_dot: bool):

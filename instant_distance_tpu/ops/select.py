@@ -40,7 +40,7 @@ def select_simple(cand_d, cand_p, m0: int):
 
 
 def select_heuristic(q_pts, cand_d, cand_p, cand_pts, metric: Metric,
-                     m0: int, keep_pruned: bool):
+                     m0: int, keep_pruned: bool, pd_dtype=None):
     """Paper Alg. 4, batched over W queries.
 
     Args:
@@ -49,13 +49,16 @@ def select_heuristic(q_pts, cand_d, cand_p, cand_pts, metric: Metric,
       cand_p:   [W, C] candidate pids (-1 = invalid pad).
       cand_pts: [W, C, D] candidate coordinates (caller gathers, so it can
                 chunk the gather for memory).
+      pd_dtype: dtype of the candidate-pairwise matrix (bfloat16 halves
+                the dominant HBM traffic of the reverse-edge commit; the
+                bridging comparisons tolerate the resolution).
     Returns:
       (sel_d, sel_p): [W, m0] selected rows in kept-then-pruned order,
       padded with (inf, -1).  This order is what the reference writes into
       ZeroNode rows via ``rewrite``/``set`` (lib.rs:481-517).
     """
     w, c = cand_p.shape
-    pd = metric.self_pairwise(cand_pts)            # [W, C, C]
+    pd = metric.self_pairwise(cand_pts, out_dtype=pd_dtype)  # [W, C, C]
     valid = cand_p >= 0
 
     def body(j, state):

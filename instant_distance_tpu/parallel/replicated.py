@@ -84,7 +84,8 @@ class ReplicatedHnsw:
         ef = ef or cfg.ef_search
         k = k or ef
         eligible = self._eligible(filter_mask)
-        key = (ef, len(self.layers), eligible is not None)
+        key = (ef, len(self.layers), eligible is not None,
+               getattr(cfg, "entry_seeds", 0))
         if key not in self._fns:
             metric = resolve(cfg.metric)
             qsh = NamedSharding(self.mesh, P(SHARD_AXIS, None))
@@ -96,7 +97,9 @@ class ReplicatedHnsw:
                     zero_links=cfg.m0,
                     max_iter_factor=cfg.max_iter_factor,
                     expand=getattr(cfg, "search_expand", 1),
-                    eligible=fm if filtered else None)
+                    eligible=fm if filtered else None,
+                    entry_seeds=min(getattr(cfg, "entry_seeds", 0),
+                                    points.shape[0]))
 
             n_graph_args = 2 + len(self.layers)
             fn = jax.jit(jax.shard_map(

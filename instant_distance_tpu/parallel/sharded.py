@@ -160,7 +160,9 @@ class ShardedHnsw:
                 q, zero[0], tuple(l[0] for l in layers), pts[0], metric,
                 ef=ef, m=cfg.m, zero_links=cfg.m0,
                 max_iter_factor=cfg.max_iter_factor,
-                expand=getattr(cfg, "search_expand", 1), eligible=el)
+                expand=getattr(cfg, "search_expand", 1), eligible=el,
+                entry_seeds=min(getattr(cfg, "entry_seeds", 0),
+                                pts.shape[1]))
             g = jnp.where(p >= 0, gids[0][jnp.clip(p, 0)], -1)
             d = jnp.where(g >= 0, d, jnp.inf)
             ad = jax.lax.all_gather(d, SHARD_AXIS)        # [S, B, ef]
@@ -192,7 +194,8 @@ class ShardedHnsw:
         ef = ef or self.config.ef_search
         k = k or ef
         eligible = self._eligible(filter_mask)
-        key = (ef, len(self.layers), eligible is not None)
+        key = (ef, len(self.layers), eligible is not None,
+               getattr(self.config, "entry_seeds", 0))
         if self._search_fn is None or self._search_fn[0] != key:
             self._search_fn = (
                 key, self._make_search(ef, len(self.layers),
@@ -378,21 +381,39 @@ def _build_sharded(shard_pts: np.ndarray, config: Config, mesh: Mesh,
     heur = (None if cfg.heuristic is None else
             (cfg.heuristic.extend_candidates, cfg.heuristic.keep_pruned))
 
-    from ..ops.construct import _rev_params
+    from ..ops.construct import (_quantize_for_scan, _resolve_search_mode,
+                                 _rev_params)
 
     pend_cap, rev_rounds = _rev_params(cfg, m0)
+    search_mode = _resolve_search_mode(cfg, cfg.metric)
+    if search_mode.startswith("scan"):
+        qfn = functools.partial(_quantize_for_scan,
+                                fused=search_mode == "scan_fused")
+        codes, cscales, cnorms = jax.jit(
+            jax.shard_map(jax.vmap(qfn), mesh=mesh,
+                          in_specs=P(SHARD_AXIS),
+                          out_specs=(P(SHARD_AXIS),) * 3,
+                          check_vma=False))(dev_pts)
+    else:  # beam mode ignores the scan operands; tiny sharded dummies
+        codes = jax.device_put(jnp.zeros((s, 1, 1), jnp.int8), shard)
+        cscales = jax.device_put(jnp.zeros((s, 1), jnp.float32), shard)
+        cnorms = jax.device_put(jnp.zeros((s, 1), jnp.float32), shard)
     core = functools.partial(
         wave_step_core, metric_name=cfg.metric,
         efc=cfg.ef_construction, m=m, m0=m0,
-        heuristic=heur, rev_chunk=2048, pend_cap=pend_cap,
+        heuristic=heur, rev_chunk=8192, pend_cap=pend_cap,
         rev_rounds=rev_rounds,
         max_iter_factor=cfg.max_iter_factor,
-        expand=getattr(cfg, "construct_expand", 1))
-    vc = jax.vmap(core, in_axes=(0, 0, None, 0, 0, None, None, None))
+        expand=getattr(cfg, "construct_expand", 1),
+        search_mode=search_mode,
+        pd_dtype=getattr(cfg, 'select_pd_dtype', 'bfloat16'))
+    vc = jax.vmap(core, in_axes=(0, 0, None, 0, 0, None, None, None,
+                                 0, 0, 0))
     step = jax.jit(jax.shard_map(
         vc, mesh=mesh,
         in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(None), P(SHARD_AXIS),
-                  P(SHARD_AXIS), P(None), P(), P()),
+                  P(SHARD_AXIS), P(None), P(), P(),
+                  P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
         out_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
         check_vma=False),
         donate_argnums=(0, 1))
@@ -406,7 +427,9 @@ def _build_sharded(shard_pts: np.ndarray, config: Config, mesh: Mesh,
     ckpt_key = f"sharded-v2:{s}:{n_s}:{dim}:{cfg.seed}:" \
                f"{cfg.ef_construction}:{m}:{cfg.ml}:{heur}:" \
                f"{cfg.wave_size}:{pend_cap}:{rev_rounds}:" \
-               f"{cfg.max_iter_factor}:{getattr(cfg, 'construct_expand', 1)}"
+               f"{cfg.max_iter_factor}:" \
+               f"{getattr(cfg, 'construct_expand', 1)}:{search_mode}:" \
+               f"{getattr(cfg, 'select_pd_dtype', 'bfloat16')}"
     resume_li, resume_ws, waves_done = -1, -1, 0
     if checkpoint is not None:
         import os
@@ -449,7 +472,8 @@ def _build_sharded(shard_pts: np.ndarray, config: Config, mesh: Mesh,
                                  jax.device_put(jnp.asarray(wave), repl),
                                  dev_pts, stacked,
                                  jax.device_put(jnp.asarray(offsets), repl),
-                                 jnp.int32(li), jnp.int32(zero_links))
+                                 jnp.int32(li), jnp.int32(zero_links),
+                                 codes, cscales, cnorms)
             drops = drops + jnp.sum(dd)
             done += w * s
             waves_done += 1

@@ -1,0 +1,91 @@
+"""Scan-mode construction (Config.construct_mode) parity.
+
+The TPU-native default builds each wave's candidate set with an
+exact-rerank int8 MXU scan of the inserted prefix instead of walking
+the pre-wave graph (ops/construct.py wave_step_core: the reference
+searches the graph only because a CPU cannot afford the exhaustive
+scan, lib.rs:447-463).  The candidates are strictly better (the TRUE
+top-efc), so graphs must meet the same recall floors; "beam" remains
+for custom callable metrics and must keep meeting them too.
+"""
+
+import numpy as np
+import pytest
+
+from instant_distance_tpu.config import Config, Heuristic
+from instant_distance_tpu.models.brute import BruteForce
+from instant_distance_tpu.models.hnsw import Hnsw
+
+
+def _recall(index, ids, pts, queries, k=10, ef=64):
+    gt = np.asarray(BruteForce(pts).search_batch(queries, k)[1])
+    _, p = index.search_batch(queries, k=k, ef=ef)
+    got = np.asarray(p)
+    return float(np.mean([
+        len(set(got[i].tolist()) & set(ids[gt[i]].tolist())) / k
+        for i in range(len(queries))]))
+
+
+@pytest.fixture(scope="module")
+def pts():
+    rng = np.random.default_rng(67)
+    return (rng.random((2048, 16), dtype=np.float32),
+            rng.random((64, 16), dtype=np.float32))
+
+
+def test_scan_mode_meets_recall_floor(pts):
+    data, queries = pts
+    idx, ids = Hnsw.build(data, Config(seed=67, wave_size=512,
+                                       construct_mode="scan"))
+    r = _recall(idx, ids, data, queries)
+    assert r >= 0.97, f"scan-mode recall {r}"
+
+
+def test_scan_vs_beam_recall(pts):
+    data, queries = pts
+    scan_idx, sids = Hnsw.build(data, Config(seed=67, wave_size=512,
+                                             construct_mode="scan"))
+    beam_idx, bids = Hnsw.build(data, Config(seed=67, wave_size=512,
+                                             construct_mode="beam"))
+    r_scan = _recall(scan_idx, sids, data, queries)
+    r_beam = _recall(beam_idx, bids, data, queries)
+    # exact candidates can only help
+    assert r_scan >= r_beam - 0.02, f"scan {r_scan} vs beam {r_beam}"
+
+
+def test_scan_fused_mode_interpret(pts):
+    """The Pallas fused-kernel wave search (the TPU default via "auto")
+    runs here in interpreter mode — same code path the TPU compiles."""
+    data, queries = pts
+    idx, ids = Hnsw.build(data, Config(seed=67, wave_size=512,
+                                       construct_mode="scan_fused"))
+    r = _recall(idx, ids, data, queries)
+    assert r >= 0.97, f"scan_fused recall {r}"
+
+
+def test_auto_resolves_beam_for_callable_metric(pts):
+    data, queries = pts
+    import jax.numpy as jnp
+
+    def custom(a, b):  # sqeuclidean as a traceable callable
+        d = a - b
+        return jnp.sum(d * d, axis=-1)
+
+    idx, ids = Hnsw.build(data, Config(seed=67, wave_size=512,
+                                       metric=custom))
+    gt = np.asarray(BruteForce(data).search_batch(queries, 10)[1])
+    _, p = idx.search_batch(queries, k=10, ef=64)
+    got = np.asarray(p)
+    r = float(np.mean([
+        len(set(got[i].tolist()) & set(ids[gt[i]].tolist())) / 10
+        for i in range(len(queries))]))
+    assert r >= 0.9, f"callable-metric (beam) recall {r}"
+
+
+def test_simple_selection_scan_mode(pts):
+    data, queries = pts
+    idx, ids = Hnsw.build(data, Config(seed=67, wave_size=512,
+                                       heuristic=None,
+                                       construct_mode="scan"))
+    r = _recall(idx, ids, data, queries)
+    assert r >= 0.90, f"simple-selection scan-mode recall {r}"

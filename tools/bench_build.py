@@ -1,0 +1,67 @@
+"""Honest end-to-end build timing (scan-mode vs beam-mode waves).
+
+``jax.block_until_ready`` is NOT a completion barrier through the axon
+relay (CLAUDE.md) — round 1's "31 s warm 1M build" was a dispatch-ack
+artifact.  This tool syncs with a real device->host readback of the
+final adjacency row before stopping the clock.
+
+Run ON the TPU:
+    PYTHONPATH=/root/repo:$PYTHONPATH timeout 5400 \
+        python -u tools/bench_build.py [mode] [N ...] > /tmp/bench_build.log 2>&1
+"""
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+from instant_distance_tpu.config import Config
+from instant_distance_tpu.models.brute import BruteForce
+from instant_distance_tpu.models.hnsw import Hnsw
+from instant_distance_tpu.utils.datasets import synthetic_clustered
+from instant_distance_tpu.utils.metrics import recall_at_k
+
+D = int(os.environ.get("BENCH_BUILD_D", 128))
+
+
+def run(n: int, mode: str):
+    data = synthetic_clustered(n + 2048, D,
+                               n_clusters=max(100, n // 100), seed=3)
+    pts, queries = data[:n], data[n:]
+    cfg = Config(seed=3, wave_size=4096, construct_mode=mode)
+    print(f"[build] N={n:,} D={D} mode={mode} ...", flush=True)
+    t0 = time.time()
+    index, ids = Hnsw.build(pts, cfg)
+    np.asarray(index.zero[n - 1])       # honest barrier: device readback
+    dt = time.time() - t0
+    print(f"N={n:>9,} mode={mode:5s} build={dt:8.1f}s "
+          f"({n / dt:,.0f} pts/s)", flush=True)
+
+    # recall check (the build is only as good as the graph it makes)
+    gt = np.asarray(BruteForce(np.asarray(index.points))
+                    .search_batch(queries, 10)[1])
+    _, p = index.search_batch(queries, k=10, ef=50)
+    rec = recall_at_k(np.asarray(p), gt, 10)
+    print(f"N={n:>9,} mode={mode:5s} recall@10(ef=50)={rec:.4f}",
+          flush=True)
+    return dt, rec
+
+
+def main():
+    args = sys.argv[1:]
+    mode = args[0] if args and not args[0].isdigit() else "scan"
+    ns = [int(a) for a in args if a.isdigit()] or [1_000_000]
+    print("devices:", jax.devices(), flush=True)
+    for n in ns:
+        run(n, mode)
+
+
+if __name__ == "__main__":
+    main()

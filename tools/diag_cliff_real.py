@@ -59,7 +59,7 @@ def make_ckpt(n: int, path: str, frac: float = 0.55) -> None:
           file=sys.stderr, flush=True)
 
 
-def instrument(n: int, path: str, n_waves: int = 4):
+def instrument(n: int, path: str, n_waves: int = 8):
     """Load the checkpoint and run instrumented waves from its position."""
     pts = synthetic_clustered(n, D, n_clusters=max(100, n // 100), seed=3)
     cfg = Config(seed=3, wave_size=WAVE)
@@ -97,27 +97,38 @@ def instrument(n: int, path: str, n_waves: int = 4):
     # resume the schedule right after the checkpointed wave
     sched = [(s, e) for s, e in C._wave_schedule(start, end, cfg.wave_size)
              if s > s_done]
-    results = []
-    for wi, (s, e) in enumerate(sched[:n_waves + 1]):
+
+    def dispatch(s, e):
+        nonlocal adj, adjd
         w = e - s
         wb = C._bucket(w, cfg.wave_size)
         wave = np.full(wb, -1, np.int32)
         wave[:w] = np.arange(s, e, dtype=np.int32)
-        t0 = time.time()
-        adj, adjd, dd, iters = step(
+        adj, adjd, dd, iters, rounds = step(
             adj, adjd, jnp.asarray(wave), dev_points, stacked,
             jnp.asarray(offsets), jnp.int32(li), jnp.int32(m0))
-        force_ready(iters)
-        dt = time.time() - t0
-        it = int(iters)
-        if wi == 0:
-            print(f"[diag] N={n:,} warm/compile wave: {dt:.1f}s "
-                  f"iters={it}", file=sys.stderr, flush=True)
-            continue
-        results.append((dt, it))
-        print(f"N={n:>9,}  wave={dt*1e3:8.1f} ms  iters={it:4d}  "
-              f"ms/iter={dt*1e3/max(it,1):7.2f}", flush=True)
-    return results
+        return iters, rounds
+
+    # warm/compile
+    t0 = time.time()
+    it0, rd0 = dispatch(*sched[0])
+    force_ready(it0)
+    print(f"[diag] N={n:,} warm/compile wave: {time.time()-t0:.1f}s "
+          f"iters={int(it0)} rounds={int(rd0)}",
+          file=sys.stderr, flush=True)
+    # pipelined stream (build-like): dispatch all, one sync at the end
+    stats = []
+    t0 = time.time()
+    for s, e in sched[1:1 + n_waves]:
+        stats.append(dispatch(s, e))
+    force_ready(stats[-1][0])
+    dt = time.time() - t0
+    per = dt / n_waves
+    its = [int(i) for i, _ in stats]
+    rds = [int(r) for _, r in stats]
+    print(f"N={n:>9,}  wave={per*1e3:8.1f} ms (pipelined x{n_waves})  "
+          f"iters={its}  rounds={rds}", flush=True)
+    return per, its, rds
 
 
 def main():
