@@ -226,7 +226,13 @@ def _fused_search_jit(queries, codes_t, scales_r, norms_r, points,
                       cb, inner, rerank, interpret, mode="topt"):
     from ..ops.scan_kernel import fused_scan_bucket, fused_scan_topt
 
+    is_dot = metric_name in ("dot", "cosine")
     qc, qs = _quantize_queries(queries)
+    if metric_name == "cosine":
+        # fold 1/|q| into the query scale (1/|p| lives in scales_r,
+        # see _fused_arrays): prod approximates cos(q, p)
+        qn = jnp.sqrt(jnp.sum(queries * queries, axis=1))
+        qs = qs / jnp.maximum(qn, 1e-30)
     if eligible is not None:
         npad = norms_r.shape[1] - eligible.shape[0]
         el = jnp.pad(eligible, (0, npad))
@@ -234,21 +240,27 @@ def _fused_search_jit(queries, codes_t, scales_r, norms_r, points,
     if mode == "bucket":
         od, oi = fused_scan_bucket(qc, qs[:, None], codes_t, scales_r,
                                    norms_r, lsub=lsub, qb=qb, cb=cb,
-                                   inner=inner, interpret=interpret)
+                                   inner=inner, is_dot=is_dot,
+                                   interpret=interpret)
     else:
         od, oi = fused_scan_topt(qc, qs[:, None], codes_t, scales_r,
                                  norms_r, lsub=lsub, topt=topt, qb=qb,
-                                 cb=cb, interpret=interpret)
+                                 cb=cb, is_dot=is_dot,
+                                 interpret=interpret)
     md, nidx = jax.lax.approx_min_k(od, min(ef, od.shape[1]))
     bi = jnp.take_along_axis(oi, nidx, axis=1)
     bi = jnp.where(jnp.isfinite(md), bi, -1)
     if not rerank:
         bd, bi = jax.lax.sort((md, bi), dimension=1, num_keys=2)
         bd, bi = bd[:, :k], bi[:, :k]
-        # fused path is sqeuclidean-only: add the per-query |q|^2 so
-        # rerank=False values are in metric units (see _scan_search_jit)
-        qn2 = jnp.sum(queries * queries, axis=1, keepdims=True)
-        bd = jnp.where(jnp.isfinite(bd), bd + qn2, bd)
+        # restore per-query constants so rerank=False values are in the
+        # named metric's units (see _scan_search_jit): sq-L2 drops
+        # |q|^2, cosine is -cos vs the metric's 1-cos, dot is exact
+        if metric_name == "cosine":
+            bd = jnp.where(jnp.isfinite(bd), bd + 1.0, bd)
+        elif not is_dot:
+            qn2 = jnp.sum(queries * queries, axis=1, keepdims=True)
+            bd = jnp.where(jnp.isfinite(bd), bd + qn2, bd)
         return bd, bi
     return rerank_exact(queries, points, bi, resolve(metric_name), k)
 
@@ -340,15 +352,32 @@ class ScanIndex:
     # -- fused Pallas path ---------------------------------------------------
     _FUSED_QB, _FUSED_CB = 256, 4096
 
-    def _fused_arrays(self, cb: int):
-        if self._fused is None or self._fused[0] != cb:
+    def _fused_arrays(self, cb: int, variant: str = "l2"):
+        """Kernel-layout operand cache.  ``variant``:
+        * "l2":     norms = |p_hat|^2 (+inf padding) — the kernel's
+                    dist = |p|^2 - 2 q.p form.
+        * "dot":    norms = 0 eligibility bias (+inf padding) — the
+                    kernel's is_dot form dist = bias - q.p.
+        * "cosine": like "dot", plus 1/|p_hat| folded into scales so
+                    the matmul epilogue yields -cos directly.
+        """
+        if self._fused is None or self._fused[0] != (cb, variant):
             n = len(self)
             npad = (-n) % cb
             codes_t = jnp.pad(self.codes, ((0, npad), (0, 0))).T
-            scales_r = jnp.pad(self.scales, (0, npad))[None, :]
-            norms_r = jnp.pad(self.norms, (0, npad),
-                              constant_values=np.inf)[None, :]
-            self._fused = (cb, jnp.asarray(codes_t), scales_r, norms_r)
+            scales = self.scales
+            if variant == "cosine":
+                scales = scales * jax.lax.rsqrt(
+                    jnp.maximum(self.norms, 1e-30))
+            scales_r = jnp.pad(scales, (0, npad))[None, :]
+            if variant == "l2":
+                norms_r = jnp.pad(self.norms, (0, npad),
+                                  constant_values=np.inf)[None, :]
+            else:
+                norms_r = jnp.pad(jnp.zeros(n, jnp.float32), (0, npad),
+                                  constant_values=np.inf)[None, :]
+            self._fused = ((cb, variant), jnp.asarray(codes_t), scales_r,
+                           norms_r)
         return self._fused[1:]
 
     def _fused_int_arrays(self, cb: int):
@@ -385,12 +414,13 @@ class ScanIndex:
         ``fused=True``/``"topt"``/``"bucket"``/``"bucket_int"`` routes
         through the Pallas fused-scan kernel (ops/scan_kernel.py): the
         MXU matmul and candidate selection run in one kernel, so the
-        score matrix never reaches HBM — the fastest path for
-        sqeuclidean/euclidean on TPU.  ``"bucket"`` emits all
-        stride-group minima and does the top-ef in XLA (cheapest f32
-        kernel); ``"bucket_int"`` additionally collapses the epilogue
-        to one int32 subtract via shared point/query scales (fastest;
-        rerank repairs the shared-scale resolution loss).
+        score matrix never reaches HBM — the fastest path for every
+        named metric (sqeuclidean/euclidean/dot/cosine) on TPU.
+        ``"bucket"`` emits all stride-group minima and does the top-ef
+        in XLA (cheapest f32 kernel); ``"bucket_int"`` additionally
+        collapses the epilogue to one int32 subtract via shared
+        point/query scales (fastest; rerank repairs the shared-scale
+        resolution loss; L2-only — dot/cosine fall back to "bucket").
         ``topt``/``lsub`` are the per-block candidate count and
         stride-group width, ``qb``/``cb`` override the kernel's
         query/point block sizes.
@@ -403,9 +433,11 @@ class ScanIndex:
         k = int(min(k, ef))
         metric_name = self.metric_name
         cb = cb or self._FUSED_CB
-        if fused and metric_name in ("sqeuclidean", "euclidean") \
-                and len(self) >= cb * inner:
+        if fused and len(self) >= cb * inner:
             mode = fused if isinstance(fused, str) else "bucket"
+            is_l2 = metric_name in ("sqeuclidean", "euclidean")
+            if mode == "bucket_int" and not is_l2:
+                mode = "bucket"  # the shared-scale rank trick is L2-only
             if mode.startswith("bucket") and lsub == 16 \
                     and cb == self._FUSED_CB:
                 lsub = 32  # measured best: 128-lane output tiles
@@ -427,12 +459,13 @@ class ScanIndex:
                     qb=qb, cb=cb, inner=inner, rerank=rerank,
                     interpret=interp)
             else:
+                fm = "sqeuclidean" if is_l2 else metric_name
                 codes_t, scales_r, norms_r = self._fused_arrays(
-                    cb * inner)
+                    cb * inner, variant="l2" if is_l2 else fm)
                 d, i = _fused_search_jit(
                     q, codes_t, scales_r, norms_r, self.points,
                     self._eligible(filter_mask),
-                    metric_name="sqeuclidean", ef=ef, k=k, lsub=lsub,
+                    metric_name=fm, ef=ef, k=k, lsub=lsub,
                     topt=topt, qb=qb, cb=cb, inner=inner, rerank=rerank,
                     mode=mode, interpret=interp)
             if pad:

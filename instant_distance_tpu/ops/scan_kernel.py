@@ -64,7 +64,11 @@ def _bucket_scan_kernel(qc_ref, qs_ref, codes_ref, sc_ref, no_ref,
             qc_ref[:], codes_ref[:, sl], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)              # [QB, CB]
         prod = (qs * sc_ref[:, sl]) * dot.astype(jnp.float32)
-        dist = -prod if is_dot else no_ref[:, sl] - 2.0 * prod
+        # is_dot: norms carries an eligibility BIAS (0 eligible, +inf
+        # ineligible/padded) instead of |p|^2 — dist = bias - q.p; the
+        # caller folds 1/|p| into scales/qs for cosine.
+        dist = (no_ref[:, sl] - prod if is_dot
+                else no_ref[:, sl] - 2.0 * prod)
         # strided group-min: groups are {g, ct+g, 2ct+g, ...} —
         # contiguous [QB, ct] slabs, elementwise min, zero relayout
         m = dist[:, :ct]
@@ -256,7 +260,9 @@ def _fused_scan_kernel(qc_ref, qs_ref, codes_ref, sc_ref, no_ref,
     sc = sc_ref[:]                                         # [1, CB]
     prod = (qs * sc) * dot.astype(jnp.float32)
     if is_dot:
-        dist = -prod
+        # norms = eligibility bias (0 eligible, +inf ineligible/padded);
+        # cosine folds 1/|p| into scales and 1/|q| into qs
+        dist = no_ref[:] - prod
     else:
         dist = no_ref[:] - 2.0 * prod                      # [QB, CB]
 
@@ -304,7 +310,11 @@ def fused_scan_topt(qc, qs, codes_t, scales, norms, *, lsub: int = 16,
       codes_t: [D, N] int8 point codes, TRANSPOSED (N % cb == 0).
       scales:  [1, N] f32 point scales.
       norms:   [1, N] f32 squared norms of dequantized points, with
-               +inf marking ineligible/padded points (ignored for dot).
+               +inf marking ineligible/padded points.  Under
+               ``is_dot=True`` it is an eligibility BIAS instead: 0 for
+               eligible points, +inf for ineligible/padded (dist =
+               bias - q.p; cosine callers fold 1/|p| into ``scales``
+               and 1/|q| into ``qs``).
     Returns:
       (dists [B, (N/cb) * topt], ids [B, (N/cb) * topt]) — per-block
       top-T candidates; ids are -1 where a block had fewer eligible
