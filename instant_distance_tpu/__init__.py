@@ -23,6 +23,7 @@ __all__ = [
     "BruteForce",
     "ScanIndex",
     "PackedHnsw",
+    "StreamingHnsw",
     "ShardedHnsw",
     "ShardedScanIndex",
     "ReplicatedHnsw",
@@ -52,6 +53,10 @@ def __getattr__(name):
         from .models.packed import PackedHnsw
 
         return PackedHnsw
+    if name == "StreamingHnsw":
+        from .models.streaming import StreamingHnsw
+
+        return StreamingHnsw
     if name == "ShardedHnsw":
         from .parallel.sharded import ShardedHnsw
 

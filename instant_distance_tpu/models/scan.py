@@ -329,6 +329,43 @@ class ScanIndex:
                    for a in (self.points, self.codes, self.scales,
                              self.norms))
 
+    # -- streaming ingestion ---------------------------------------------
+    def add(self, new_points, values=None) -> np.ndarray:
+        """Append points (exact streaming: the scan scores every row, so
+        an append IS the index update — no graph surgery, no recall
+        decay).  New rows are quantized with their own per-point scales
+        and concatenated; the fused kernel layouts (transposed/padded)
+        are invalidated and rebuilt lazily on the next fused search.
+        Returns the new ids (input order, following the existing rows).
+        """
+        new_pts = jnp.asarray(new_points, jnp.float32)
+        if new_pts.ndim == 1:
+            new_pts = new_pts[None]
+        if self.values is not None:
+            if values is None or len(values) != len(new_pts):
+                raise ValueError(
+                    "values must match the number of new points")
+        elif values is not None:
+            raise ValueError("this index carries no values")
+        n_old = len(self)
+        codes, scales = quantize_points(new_pts)
+        deq = codes.astype(jnp.float32) * scales[:, None]
+        self.points = jnp.concatenate(
+            [self.points, new_pts.astype(self.points.dtype)])
+        self.codes = jnp.concatenate([self.codes, codes])
+        self.scales = jnp.concatenate([self.scales, scales])
+        self.norms = jnp.concatenate(
+            [self.norms, jnp.sum(deq * deq, axis=1)])
+        if self._alive is not None:
+            self._alive = jnp.concatenate(
+                [self._alive, jnp.ones(len(new_pts), bool)])
+        if self.values is not None:
+            self.values.extend(values)
+        self._fused = None
+        self._fused_int = None
+        self.chunk = int(min(max(self.chunk, 1), len(self)))
+        return np.arange(n_old, n_old + len(new_pts), dtype=np.int32)
+
     # -- tombstones / filters (exact here: excluded points are never
     #    scored into the candidate set) ------------------------------------
     def delete(self, ids) -> None:
