@@ -52,16 +52,22 @@ def _quantize_queries(queries):
 
 def scan_candidates(queries, codes, scales, norms, eligible, *,
                     metric_name: str, ef: int, chunk: int,
-                    approx_topk: bool = False, tile: int = 0):
+                    approx_topk: bool = False, tile: int = 0,
+                    approx_recall: float = 0.95):
     """The streamed quantized scan: [B, D] queries vs [N] codes ->
     (approx dists [B, ef], ids [B, ef]) sorted by (dist, id), -1 padded.
     Shared by ScanIndex and the sharded/replicated serving wrappers
     (traceable: call under jit / shard_map).
 
     ``approx_topk`` uses the TPU-accelerated ``lax.approx_min_k`` for the
-    per-chunk candidate selection (recall ~0.95+ per chunk at default
-    settings; the exact rerank repairs ordering, so end recall loss is
-    tiny while large-chunk selection gets much cheaper).
+    per-chunk candidate selection (the exact rerank repairs ordering,
+    so end recall loss is tiny while large-chunk selection gets much
+    cheaper).  ``approx_recall`` is the per-chunk recall target; chunk
+    losses compound over n/chunk chunks, so callers that feed graph
+    construction (where candidate quality becomes edge quality with no
+    serving-time rerank to save it) should raise it — the 2M-point
+    scan-mode build measured recall 0.949 vs 1M's 0.972 at the 0.95
+    default, the per-chunk loss compounding across 16 chunks.
 
     ``tile`` > 1 inserts a within-tile min+argmin reduction between the
     matmul and the top-k: each ``tile``-wide slice of the score row
@@ -124,7 +130,8 @@ def scan_candidates(queries, codes, scales, norms, eligible, *,
             sel_ids = jnp.take_along_axis(
                 ids.reshape(b, ct, tile), am[..., None], axis=2)[..., 0]
         if approx_topk:
-            md, nidx = jax.lax.approx_min_k(d, ef)
+            md, nidx = jax.lax.approx_min_k(d, ef,
+                                            recall_target=approx_recall)
             nd = -md
         else:
             nd, nidx = jax.lax.top_k(-d, ef)

@@ -256,11 +256,16 @@ def wave_step_core(adj, adjd, wave_pids, points, stacked, offsets, n_upper,
         filled = wave_pids[0]  # builders put the lowest pid in lane 0
         prefix = jax.lax.broadcasted_iota(
             jnp.int32, (n, 1), 0)[:, 0] < filled
+        # per-chunk approx_min_k losses compound across n/chunk chunks
+        # and there is no serving-time rerank to repair edge quality —
+        # 0.99 per chunk keeps multi-chunk builds (2M+: 16 chunks) at
+        # single-chunk recall for ~zero extra cost (roadmap item 4)
         cand_ad, cand_p = scan_candidates(
             q, codes, scales, norms, prefix,
             metric_name=(metric_name if isinstance(metric_name, str)
                          else "sqeuclidean"),
-            ef=efc, chunk=min(1 << 17, n), approx_topk=True)
+            ef=efc, chunk=min(1 << 17, n), approx_topk=True,
+            approx_recall=0.99)
         # exact rerank (selection runs on true distances, like the
         # reference's Search results)
         cand_d = metric.gathered(q, points[jnp.clip(cand_p, 0)])
