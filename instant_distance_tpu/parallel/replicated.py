@@ -247,20 +247,30 @@ class ReplicatedScanIndex:
     _eligible = ReplicatedHnsw._eligible
     search_batch_values = ReplicatedHnsw.search_batch_values
 
-    def _fused_arrays(self, cb: int):
-        if self._fused is None or self._fused[0] != cb:
+    def _fused_arrays(self, cb: int, variant: str = "l2"):
+        """Replicated kernel layout; ``variant`` mirrors
+        ScanIndex._fused_arrays ("l2" | "dot" | "cosine" — the latter
+        two zero the norms into the is_dot eligibility bias, cosine
+        also folds 1/|p_hat| into the scales)."""
+        if self._fused is None or self._fused[0] != (cb, variant):
             n = len(self)
             npad = (-n) % cb
             repl = NamedSharding(self.mesh, P())
             ct = jax.device_put(
                 jnp.pad(self.codes, ((0, npad), (0, 0))).T, repl)
+            scales = self.scales
+            if variant == "cosine":
+                scales = scales * jax.lax.rsqrt(
+                    jnp.maximum(self.norms, 1e-30))
             sr = jax.device_put(
-                jnp.pad(self.scales, (0, npad))[None, :], repl)
+                jnp.pad(scales, (0, npad))[None, :], repl)
             import numpy as np
+            base = (self.norms if variant == "l2"
+                    else jnp.zeros_like(self.norms))
             nr = jax.device_put(
-                jnp.pad(self.norms, (0, npad),
+                jnp.pad(base, (0, npad),
                         constant_values=np.inf)[None, :], repl)
-            self._fused = (cb, ct, sr, nr)
+            self._fused = ((cb, variant), ct, sr, nr)
         return self._fused[1:]
 
     def search_batch(self, queries, k: int = 10, ef: Optional[int] = None,
@@ -280,7 +290,8 @@ class ReplicatedScanIndex:
         k = int(min(k, ef))
         metric_name = ("sqeuclidean" if self.metric_name == "euclidean"
                        else self.metric_name)
-        fused = bool(fused) and metric_name == "sqeuclidean" and n >= cb
+        fused = (bool(fused) and n >= cb
+                 and metric_name in ("sqeuclidean", "dot", "cosine"))
         n_dev = self.mesh.devices.size
         b0 = queries.shape[0]
         per_dev = qb if (fused and qb) else (512 if fused else 1)
@@ -320,9 +331,13 @@ class ReplicatedScanIndex:
                     nr_m = jnp.where(
                         jnp.pad(fm, (0, npad_))[None, :], nr, np.inf)
                 qc, qs = _quantize_queries(q)
+                if metric_name == "cosine":
+                    qn = jnp.sqrt(jnp.sum(q * q, axis=1))
+                    qs = qs / jnp.maximum(qn, 1e-30)
                 od, oi = fused_scan_bucket(
                     qc, qs[:, None], ct, sr, nr_m, lsub=lsub, qb=qb,
-                    cb=cb, interpret=interp)
+                    cb=cb, is_dot=metric_name in ("dot", "cosine"),
+                    interpret=interp)
                 md, nidx = jax.lax.approx_min_k(od, min(ef, od.shape[1]))
                 bi = jnp.take_along_axis(oi, nidx, axis=1)
                 bi = jnp.where(jnp.isfinite(md), bi, -1)
@@ -340,7 +355,8 @@ class ReplicatedScanIndex:
         queries = jax.device_put(queries, qsh)
         fm = (jnp.ones(1, bool) if eligible is None else eligible)
         if fused:
-            ct, sr, nr = self._fused_arrays(cb)
+            ct, sr, nr = self._fused_arrays(
+                cb, "l2" if metric_name == "sqeuclidean" else metric_name)
             d, i = self._fns[key](queries, fm, ct, sr, nr, self.points)
         else:
             d, i = self._fns[key](queries, fm, self.codes, self.scales,

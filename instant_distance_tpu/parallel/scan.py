@@ -112,26 +112,36 @@ class ShardedScanIndex:
         return jnp.asarray(full.reshape(-1, self.n_s))
 
     # -- fused-kernel shard layout (built lazily) ---------------------------
-    def _fused_shard_arrays(self, cb: int):
+    def _fused_shard_arrays(self, cb: int, variant: str = "l2"):
         """Per-shard transposed codes + row-form scales/norms padded to a
-        multiple of ``cb`` (the Pallas kernel's point-block size)."""
+        multiple of ``cb`` (the Pallas kernel's point-block size).
+        ``variant`` mirrors ScanIndex._fused_arrays: "l2" keeps
+        |p_hat|^2 in norms; "dot"/"cosine" zero them (the kernel's
+        is_dot eligibility-bias form), cosine also folding 1/|p_hat|
+        into the scales."""
         cached = getattr(self, "_fused_arrs", None)
-        if cached is not None and cached[0] == cb:
+        if cached is not None and cached[0] == (cb, variant):
             return cached[1:]
         n_s = self.n_s
         n_sp = -(-n_s // cb) * cb
 
         def prep(c, s_, no):
             ct = jnp.pad(c[0], ((0, n_sp - n_s), (0, 0))).T[None]
-            sr = jnp.pad(s_[0], (0, n_sp - n_s))[None, None]
-            nr = jnp.pad(no[0], (0, n_sp - n_s),
+            scales = s_[0]
+            if variant == "cosine":
+                scales = scales * jax.lax.rsqrt(
+                    jnp.maximum(no[0], 1e-30))
+            sr = jnp.pad(scales, (0, n_sp - n_s))[None, None]
+            base = (no[0] if variant == "l2"
+                    else jnp.zeros_like(no[0]))
+            nr = jnp.pad(base, (0, n_sp - n_s),
                          constant_values=np.inf)[None, None]
             return ct, sr, nr
         ct, sr, nr = jax.jit(jax.shard_map(
             prep, mesh=self.mesh, in_specs=(P(SHARD_AXIS),) * 3,
             out_specs=(P(SHARD_AXIS),) * 3, check_vma=False))(
                 self.codes, self.scales, self.norms)
-        self._fused_arrs = (cb, ct, sr, nr)
+        self._fused_arrs = ((cb, variant), ct, sr, nr)
         return ct, sr, nr
 
     def search_batch(self, queries, k: int = 10, ef: Optional[int] = None,
@@ -141,8 +151,8 @@ class ShardedScanIndex:
 
         ``fused=True`` runs each shard's scan through the Pallas bucket
         kernel (models/scan.py ``fused="bucket"`` — the 1M-scale serving
-        headline) instead of the XLA streamed scan; requires a
-        matmul-form squared-L2 metric and shard sizes >= ``cb``
+        headline) instead of the XLA streamed scan; any named metric
+        (sqeuclidean/euclidean/dot/cosine); shard sizes >= ``cb``
         (on TPU also ``cb/lsub`` >= 128 lanes).
         """
         queries = jnp.asarray(queries, jnp.float32)
@@ -154,7 +164,8 @@ class ShardedScanIndex:
         eligible = self._eligible(filter_mask)
         metric_name = ("sqeuclidean" if self.metric_name == "euclidean"
                        else self.metric_name)
-        fused = bool(fused) and metric_name == "sqeuclidean"
+        fused = bool(fused) and metric_name in ("sqeuclidean", "dot",
+                                                "cosine")
         b0 = queries.shape[0]
         if fused:
             cb = int(min(cb, -(-self.n_s // lsub) * lsub))
@@ -211,9 +222,14 @@ class ShardedScanIndex:
                     elig = elig & jnp.pad(el[0], (0, n_sp - n_s))
                 nr_m = jnp.where(elig[None, :], nr[0], jnp.inf)
                 qc, qs = _quantize_queries(q)
+                if metric_name == "cosine":
+                    qn = jnp.sqrt(jnp.sum(q * q, axis=1))
+                    qs = qs / jnp.maximum(qn, 1e-30)
                 od, oi = fused_scan_bucket(
                     qc, qs[:, None], ct[0], sr[0], nr_m, lsub=lsub,
-                    qb=qb, cb=cb, interpret=interp)
+                    qb=qb, cb=cb,
+                    is_dot=metric_name in ("dot", "cosine"),
+                    interpret=interp)
                 md, nidx = jax.lax.approx_min_k(
                     od, min(ef, od.shape[1]))
                 bi = jnp.take_along_axis(oi, nidx, axis=1)
@@ -233,7 +249,8 @@ class ShardedScanIndex:
         el = (jnp.zeros((self.points.shape[0], 1), bool)
               if eligible is None else eligible)
         if fused:
-            ct, sr, nr = self._fused_shard_arrays(cb)
+            ct, sr, nr = self._fused_shard_arrays(
+                cb, "l2" if metric_name == "sqeuclidean" else metric_name)
             d, i = self._fns[key](queries, el, ct, sr, nr, self.points)
             if b0 != queries.shape[0]:
                 d, i = d[:b0], i[:b0]

@@ -104,3 +104,27 @@ def test_bucket_int_falls_back_for_dot(data):
                             cb=CB, lsub=LSUB)
     _, gt_i = BruteForce(pts, metric="dot").search_batch(queries, 10)
     assert _recall(np.asarray(i), np.asarray(gt_i)) >= 0.95
+
+
+@pytest.mark.parametrize("metric", ["dot", "cosine"])
+def test_parallel_fused_dot_cosine(data, metric):
+    """Sharded (point-parallel) and replicated (query-DP) fused paths
+    serve dot/cosine on the 8-device mesh with oracle parity."""
+    from instant_distance_tpu.parallel.mesh import default_mesh
+    from instant_distance_tpu.parallel.replicated import (
+        ReplicatedScanIndex)
+    from instant_distance_tpu.parallel.scan import ShardedScanIndex
+
+    pts, queries = data
+    mesh = default_mesh(8)
+    _, gt_i = BruteForce(pts, metric=metric).search_batch(queries, 10)
+
+    sharded = ShardedScanIndex(pts, metric=metric, mesh=mesh)
+    d, i = sharded.search_batch(queries, k=10, ef=64, fused=True,
+                                cb=64, lsub=4)
+    assert _recall(np.asarray(i), np.asarray(gt_i)) >= 0.95
+
+    repl = ReplicatedScanIndex(ScanIndex(pts, metric=metric), mesh=mesh)
+    d, i = repl.search_batch(queries, k=10, ef=64, fused=True,
+                             cb=CB, lsub=LSUB)
+    assert _recall(np.asarray(i), np.asarray(gt_i)) >= 0.95
