@@ -121,6 +121,14 @@ def _group_reverse_edges(sel_d, sel_p, wave_pids, n: int):
     0-based position of the edge within its target's segment (nearest
     first), and ``utgt[u]`` the target pid of segment u (-1 for empty
     slots).  The caller windows ``rank`` into pend_cap-wide rounds.
+
+    Segment ids are assigned in DESCENDING segment-size order (ties by
+    ascending target pid): round r's participants are exactly the
+    segments with more than r*pend_cap additions, so under this
+    numbering they occupy the dense uid prefix [0, n_part_r) and the
+    commit's chunk loop can bound itself per round — tail rounds touch
+    only the handful of hub targets that actually overflowed, instead
+    of re-gathering every active target's row each round.
     """
     w, m0 = sel_p.shape
     e = w * m0
@@ -144,6 +152,19 @@ def _group_reverse_edges(sel_d, sel_p, wave_pids, n: int):
     uid_s = jnp.where(valid, uid, e).astype(jnp.int32)
     utgt = jnp.full(e + 1, -1, jnp.int32).at[
         jnp.where(first, uid_s, e)].set(key, mode="drop")[:e]
+
+    # renumber segments by (size desc, target asc): empty slots sort
+    # last (positive key beats every negated size)
+    sizes = jnp.zeros(e + 1, jnp.int32).at[uid_s].add(1)[:e]     # per uid
+    ord_key = jnp.where(utgt >= 0, -sizes, 1)
+    _, _, perm = jax.lax.sort(
+        (ord_key, utgt, jnp.arange(e, dtype=jnp.int32)),
+        dimension=0, num_keys=2, is_stable=True)                 # new->old
+    new_of_old = jnp.zeros(e, jnp.int32).at[perm].set(
+        jnp.arange(e, dtype=jnp.int32))
+    utgt = utgt[perm]
+    uid_s = jnp.where(uid_s < e, new_of_old[jnp.clip(uid_s, 0, e - 1)],
+                      e).astype(jnp.int32)
     return utgt, uid_s, rank, dist, src, valid
 
 
@@ -399,11 +420,12 @@ def wave_step_core(adj, adjd, wave_pids, points, stacked, offsets, n_upper,
             tq, cd, cp, cpts, metric, m0, keep_pruned=heuristic[1],
             pd_dtype=jnp.dtype(pd_dtype))
 
-    # active segments occupy the dense-uid prefix [0, n_active), so the
-    # chunk loop is bounded by the traced active count — the E = W*m0
-    # slot table is mostly padding (unique targets << slots), and the
-    # empty tail chunks' gathers would otherwise dominate commit time
-    n_active = jnp.max(jnp.where(gvalid, uid_s + 1, 0))
+    # participating segments occupy a dense-uid prefix (grouping numbers
+    # them by size desc), so each round's chunk loop is bounded by that
+    # round's own participant count — the E = W*m0 slot table is mostly
+    # padding (unique targets << slots), and round 0's bound is the
+    # active-target count while tail rounds shrink to the few hub
+    # targets that actually overflowed pend_cap
     rc = min(rev_chunk, u)
     n_chunks = (u + rc - 1) // rc
     pad = n_chunks * rc - u
@@ -415,7 +437,9 @@ def wave_step_core(adj, adjd, wave_pids, points, stacked, offsets, n_upper,
         pd_p = jnp.pad(pend_d, ((0, pad), (0, 0)),
                        constant_values=np.inf)
         pp_p = jnp.pad(pend_p, ((0, pad), (0, 0)), constant_values=-1)
-        nch = (n_active + rc - 1) // rc  # traced chunk bound
+        n_part = jnp.max(jnp.where(
+            gvalid & (rank >= r * pend_cap), uid_s + 1, 0))
+        nch = (n_part + rc - 1) // rc  # traced per-round chunk bound
 
         # chunks write disjoint target rows and each chunk reads only
         # its own targets' rows, so chunk-sequential commit is exactly

@@ -84,3 +84,39 @@ def test_multi_round_commit_recovers_tiny_cap():
     cfg = Config(seed=77, wave_size=512, pend_cap=32, rev_rounds=16)
     index, _ = Hnsw.build(pts, cfg)
     assert index.reverse_drops == 0
+
+
+def test_segments_numbered_by_size_desc():
+    """Grouping assigns segment ids in descending size order (ties by
+    ascending target pid), so each commit round's participants occupy a
+    dense uid prefix — the invariant the per-round chunk bound relies
+    on (tail rounds only touch targets that actually overflowed)."""
+    import jax.numpy as jnp
+
+    from instant_distance_tpu.ops.construct import _group_reverse_edges
+
+    rng = np.random.default_rng(77)
+    w, m0, n = 64, 8, 1000
+    # skewed targets: a few hubs receive many edges
+    tgt = rng.choice(np.arange(40), size=(w, m0),
+                     p=(lambda p: p / p.sum())(1.0 / np.arange(1, 41)))
+    sel_p = jnp.asarray(tgt, jnp.int32)
+    sel_d = jnp.asarray(rng.random((w, m0)), jnp.float32)
+    wave_pids = jnp.arange(100, 100 + w, dtype=jnp.int32)
+    utgt, uid_s, rank, dist, src, valid = _group_reverse_edges(
+        sel_d, sel_p, wave_pids, n)
+    utgt, uid_s, rank, valid = (np.asarray(utgt), np.asarray(uid_s),
+                                np.asarray(rank), np.asarray(valid))
+    sizes = np.bincount(uid_s[valid], minlength=len(utgt))
+    n_act = int((utgt >= 0).sum())
+    assert (np.diff(sizes[:n_act]) <= 0).all(), "sizes not descending"
+    # equal sizes tie-break by ascending target pid
+    for s in np.unique(sizes[:n_act]):
+        grp = utgt[:n_act][sizes[:n_act] == s]
+        assert (np.diff(grp) > 0).all()
+    # participation per round is a prefix of the uid space
+    for cap in (2, 4):
+        for r in range(1, 4):
+            part = np.unique(uid_s[valid & (rank >= r * cap)])
+            if len(part):
+                assert part.max() + 1 == len(part), "not a dense prefix"
