@@ -38,3 +38,12 @@ def test_filtered_serving_example(capsys):
                    run_name="__main__")
     out = capsys.readouterr().out
     assert "category-0 only:" in out and "after delete:" in out
+
+
+def test_streaming_ingest_example(capsys):
+    runpy.run_path(os.path.join(_EXAMPLES, "streaming_ingest.py"),
+                   run_name="__main__")
+    out = capsys.readouterr().out
+    assert "read-your-writes" not in out  # asserts live in the example
+    assert "compacted: n=5600 pending=0" in out
+    assert "doc-7" in out
