@@ -189,6 +189,21 @@ class StreamingHnsw:
         mi = jnp.where(jnp.isfinite(md), mi, -1)
         return md[:, :k], mi[:, :k]
 
+    # -- persistence -------------------------------------------------------
+    def dump(self, fname: str) -> None:
+        """Persist the owned graph (native npz).  The serving form is a
+        compiled artifact — it recompiles from the graph on load."""
+        self.graph.dump(fname)
+
+    @classmethod
+    def load(cls, fname: str, serving: str = "packed",
+             repack_every: int = 0, **serve_kw) -> "StreamingHnsw":
+        from ..utils import serialize
+
+        graph = serialize.load(fname)
+        return cls(graph, serving=serving, repack_every=repack_every,
+                   **serve_kw)
+
     def search_batch_values(self, queries, k: int = 10,
                             ef: Optional[int] = None, filter_mask=None,
                             **kw):

@@ -152,3 +152,22 @@ def test_scanindex_direct_add(data):
     assert v[0][0] == "x3"
     with pytest.raises(ValueError):
         si.add(extra[:2])  # values required on a value-carrying index
+
+
+def test_dump_load_roundtrip(tmp_path, data):
+    base, extra, queries = data
+    cfg = Config(seed=406, ef_search=64, wave_size=256)
+    idx = StreamingHnsw.build(base, values=[f"v{i}" for i in
+                                            range(len(base))], config=cfg,
+                              serving="scan", repack_every=10_000)
+    idx.add(extra[:30], values=[f"x{i}" for i in range(30)])
+    fname = str(tmp_path / "s.idx.npz")
+    idx.dump(fname)  # persists graph incl. the pending rows
+    idx2 = StreamingHnsw.load(fname, serving="scan")
+    assert len(idx2) == len(idx) and idx2.n_pending == 0
+    d1, p1 = idx.search_batch(queries, k=5)
+    d2, p2 = idx2.search_batch(queries, k=5)
+    np.testing.assert_allclose(np.asarray(d1)[:, 0], np.asarray(d2)[:, 0],
+                               rtol=1e-5)
+    _, _, v = idx2.search_batch_values(extra[3][None], k=1)
+    assert v[0][0] == "x3"
