@@ -1,0 +1,45 @@
+#!/bin/bash
+# Fire the queued TPU measurements the moment the axon relay is alive.
+#
+# The relay died mid-round-2 and several measurements are pending
+# (docs/roadmap.md "Performance (round 3+)" items 1-3).  This script
+# probes the tunnel, then runs the queue SERIALLY (one process may hold
+# the TPU; the relay shares the single CPU core — never run anything
+# CPU-heavy concurrently).  Each stage logs to /tmp and survives a
+# session death; re-running skips nothing (stages are cheap to repeat
+# relative to losing the measurement).
+#
+# Usage: bash tools/run_tpu_queue.sh [stage...]   (default: all)
+#   stages: build packed kernel bench
+set -u
+cd "$(dirname "$0")/.."
+
+if ! timeout 5 bash -c 'echo > /dev/tcp/127.0.0.1/8093' 2>/dev/null; then
+    echo "relay DOWN (port 8093 closed) — not starting TPU work"
+    exit 2
+fi
+echo "relay up; running queue: ${*:-build packed kernel bench}"
+
+run() {  # name, timeout, cmd...
+    local name=$1 tmo=$2; shift 2
+    echo "=== $name -> /tmp/q_$name.log"
+    PYTHONPATH=/root/repo:${PYTHONPATH:-} timeout "$tmo" \
+        python -u "$@" > "/tmp/q_$name.log" 2>&1
+    echo "=== $name rc=$? (tail):"; tail -3 "/tmp/q_$name.log"
+}
+
+for stage in "${@:-build packed kernel bench}"; do
+  case "$stage" in
+    # 1. optimized scan-mode build, 1M and 2M (roadmap item 1 + the 2M
+    #    recall re-check after the approx_recall=0.99 fix, item 4)
+    build)  run build 7200 tools/bench_build.py scan 1000000 2000000 ;;
+    # 2. seeded-entry packed serving sweep (VERDICT #2: >=34k @ >=0.95)
+    packed) run packed 5400 tools/tune_packed.py ;;
+    # 3. bucket_int kernel sweep (VERDICT #5: >=600k @ >=0.99)
+    kernel) run kernel 5400 tools/tune_scan_kernel.py ;;
+    # 4. the headline bench (driver-format JSON)
+    bench)  run bench 7200 bench.py ;;
+    *) echo "unknown stage: $stage" ;;
+  esac
+done
+echo "queue done"
