@@ -239,12 +239,19 @@ def wave_step_core(adj, adjd, wave_pids, points, stacked, offsets, n_upper,
         from ..models.scan import _quantize_queries
         from .scan_kernel import fused_scan_bucket
 
+        is_dot = (isinstance(metric_name, str)
+                  and metric_name in ("dot", "cosine"))
         filled = wave_pids[0]  # builders put the lowest pid in lane 0
         npad = norms.shape[1]
         prefix = jax.lax.broadcasted_iota(
             jnp.int32, (1, npad), 1) < filled
+        # norms is |p_hat|^2 for L2 modes, the 0-bias for dot/cosine
+        # (_quantize_for_scan); non-prefix points get +inf either way
         nm = jnp.where(prefix, norms, jnp.inf)
         qc, qs = _quantize_queries(q)
+        if metric_name == "cosine":
+            qn = jnp.sqrt(jnp.sum(q * q, axis=1))
+            qs = qs / jnp.maximum(qn, 1e-30)
         qb = max(32, min(256, w))      # int8 sublane minimum is 32
         qpad = (-w) % qb
         if qpad:
@@ -253,6 +260,7 @@ def wave_step_core(adj, adjd, wave_pids, points, stacked, offsets, n_upper,
             qs = jnp.concatenate([qs, jnp.broadcast_to(qs[:1], (qpad,))])
         od, oi = fused_scan_bucket(qc, qs[:, None], codes, scales, nm,
                                    lsub=_FUSED_LSUB, qb=qb, cb=_FUSED_CB,
+                                   is_dot=is_dot,
                                    interpret=jax.default_backend() == "cpu")
         od, oi = od[:w], oi[:w]
         k_sel = min(efc, od.shape[1])
@@ -508,7 +516,8 @@ def _resolve_search_mode(cfg, metric_name) -> str:
             return "beam"
         mode = "scan"
     if (mode == "scan" and jax.default_backend() != "cpu"
-            and metric_name in ("sqeuclidean", "euclidean")):
+            and metric_name in ("sqeuclidean", "euclidean", "dot",
+                                "cosine")):
         return "scan_fused"
     return mode
 
@@ -517,15 +526,20 @@ _FUSED_CB = 4096   # fused construction scan: point block (xN lsub=32)
 _FUSED_LSUB = 32
 
 
-def _quantize_for_scan(points, fused: bool = False):
+def _quantize_for_scan(points, fused: bool = False,
+                       metric_name: str = "sqeuclidean"):
     """Scan-mode wave-search operands (per-point symmetric int8, the
     same scheme the serving scan uses).
 
     flat  (fused=False): (codes [N, D] int8, scales [N], norms [N]) for
-        the XLA streamed ``scan_candidates``.
+        the XLA streamed ``scan_candidates`` (which applies metric
+        forms itself — flat norms are always |p_hat|^2).
     fused (fused=True):  (codes_t [D, Npad] int8, scales [1, Npad],
         norms [1, Npad] with +inf padding) for the Pallas bucket kernel
         — transposed and padded to the kernel's point-block multiple.
+        For dot/cosine the kernel runs in is_dot form: norms become the
+        0/+inf eligibility bias and cosine folds 1/|p_hat| into the
+        scales (mirrors models/scan.py ScanIndex._fused_arrays).
     """
     from .packed import quantize_points
 
@@ -537,8 +551,12 @@ def _quantize_for_scan(points, fused: bool = False):
     n = codes.shape[0]
     npad = (-n) % _FUSED_CB
     codes_t = jnp.pad(codes, ((0, npad), (0, 0))).T
+    if metric_name == "cosine":
+        scales = scales * jax.lax.rsqrt(jnp.maximum(norms, 1e-30))
     scales_r = jnp.pad(scales, (0, npad))[None, :]
-    norms_r = jnp.pad(norms, (0, npad), constant_values=np.inf)[None, :]
+    base = (norms if metric_name in ("sqeuclidean", "euclidean")
+            else jnp.zeros_like(norms))
+    norms_r = jnp.pad(base, (0, npad), constant_values=np.inf)[None, :]
     return codes_t, scales_r, norms_r
 
 
@@ -666,7 +684,9 @@ def extend_graph(points, zero, layers, new_points, config: Config,
     search_mode = _resolve_search_mode(cfg, metric_name)
     if search_mode.startswith("scan"):
         codes, cscales, cnorms = _quantize_for_scan(
-            all_pts, fused=search_mode == "scan_fused")
+            all_pts, fused=search_mode == "scan_fused",
+            metric_name=metric_name if isinstance(metric_name, str)
+            else "sqeuclidean")
     else:
         codes = cscales = cnorms = None
     drops = jnp.int32(0)
@@ -812,7 +832,9 @@ def build_graph(points, config: Config, progress=None,
     search_mode = _resolve_search_mode(cfg, metric_name)
     if search_mode.startswith("scan"):
         codes, cscales, cnorms = _quantize_for_scan(
-            dev_points, fused=search_mode == "scan_fused")
+            dev_points, fused=search_mode == "scan_fused",
+            metric_name=metric_name if isinstance(metric_name, str)
+            else "sqeuclidean")
     else:
         codes = cscales = cnorms = None
 

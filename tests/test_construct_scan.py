@@ -89,3 +89,22 @@ def test_simple_selection_scan_mode(pts):
                                        construct_mode="scan"))
     r = _recall(idx, ids, data, queries)
     assert r >= 0.90, f"simple-selection scan-mode recall {r}"
+
+
+@pytest.mark.parametrize("metric", ["dot", "cosine"])
+def test_scan_fused_dot_cosine_build(pts, metric):
+    """scan_fused construction on dot/cosine (the kernel's is_dot form:
+    0/+inf eligibility bias in norms, cosine scales pre-divided by
+    |p_hat|) builds graphs meeting the same floor as the beam walk."""
+    data, queries = pts
+    cfg = Config(seed=68, wave_size=512, metric=metric,
+                 construct_mode="scan_fused")
+    idx, ids = Hnsw.build(data, cfg)
+    gt = np.asarray(
+        BruteForce(data, metric=metric).search_batch(queries, 10)[1])
+    _, p = idx.search_batch(queries, k=10, ef=64)
+    got = np.asarray(p)
+    r = float(np.mean([
+        len(set(got[i].tolist()) & set(ids[gt[i]].tolist())) / 10
+        for i in range(len(queries))]))
+    assert r >= 0.9, f"scan_fused {metric} recall {r}"
