@@ -171,3 +171,13 @@ def test_dump_load_roundtrip(tmp_path, data):
                                rtol=1e-5)
     _, _, v = idx2.search_batch_values(extra[3][None], k=1)
     assert v[0][0] == "x3"
+
+
+def test_grown_graph_invariants(streamed):
+    """The incrementally-grown graph keeps the structural invariants the
+    validator enforces (INVALID-terminated prefixes, in-range pids,
+    degree caps) — adds must not corrupt rows they rewrite."""
+    from instant_distance_tpu.utils.validate import validate_graph
+
+    report = validate_graph(streamed.graph)
+    assert report.ok, vars(report)
