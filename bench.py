@@ -155,8 +155,15 @@ def main() -> None:
         except Exception as exc:  # baseline failure must not kill bench
             print(f"[bench] baseline failed: {exc}", file=sys.stderr)
 
-    # Packed serving index (inline int8 neighbors): the headline path.
+    # Packed serving index (inline int8 neighbors): the graph-path
+    # headline.  Both entry strategies are measured — seeded entry (one
+    # MXU seed scan, Config.entry_seeds) and the reference-style greedy
+    # descent — and the better one at recall >= 0.95 is reported, so a
+    # regression in either never drags the packed number down.
     packed_qps = packed_recall = None
+    packed_entry = None
+    packed_seeded_qps = packed_seeded_recall = None
+    packed_descent_qps = packed_descent_recall = None
     del bf
     import gc; gc.collect()
     if os.environ.get("INSTANT_TPU_BENCH_MODE", "packed") == "packed":
@@ -167,19 +174,38 @@ def main() -> None:
             packed = PackedHnsw.from_index(index, pack_links=32)
             np.asarray(packed.zero_pack[1][0, 0, 0])  # honest barrier
             pack_s = time.time() - t0
-            # seeded entry (one MXU seed scan replaces the upper-layer
-            # descent) is the packed path's serving default; recall is
-            # gated the same as every other candidate below
             seeds = int(os.environ.get("INSTANT_TPU_BENCH_SEEDS", 8192))
-            pkw = dict(k=k, ef=ef, entry_seeds=seeds)
-            pt = time_fn(lambda q: packed.search_batch(q, **pkw),
-                         qbatch, warmup=3, iters=20)
-            packed_qps = batch / pt.per_call_s
-            pd, pp = packed.search_batch(queries[:n_queries], **pkw)
-            packed_recall = recall_at_k(np.asarray(pp), gt_i, k)
-            print(f"[bench] tpu packed(seeded): {packed_qps:,.0f} qps, "
-                  f"recall@10={packed_recall:.4f} (pack {pack_s:.0f}s, "
-                  f"{packed.nbytes() / 1e9:.1f} GB)", file=sys.stderr)
+            variants = []
+            for name, n_seeds in (("seeded", seeds), ("descent", 0)):
+                try:
+                    pkw = dict(k=k, ef=ef, entry_seeds=n_seeds)
+                    pt = time_fn(lambda q: packed.search_batch(q, **pkw),
+                                 qbatch, warmup=3, iters=20)
+                    v_qps = batch / pt.per_call_s
+                    pd, pp = packed.search_batch(queries[:n_queries],
+                                                 **pkw)
+                    v_recall = recall_at_k(np.asarray(pp), gt_i, k)
+                    variants.append((v_qps, v_recall, name))
+                    print(f"[bench] tpu packed({name}): {v_qps:,.0f} "
+                          f"qps, recall@10={v_recall:.4f}",
+                          file=sys.stderr)
+                except Exception as exc:
+                    print(f"[bench] packed {name} failed: {exc}",
+                          file=sys.stderr)
+            if variants:
+                ok = [v for v in variants if v[1] >= 0.95] or variants
+                packed_qps, packed_recall, packed_entry = max(ok)
+                (packed_seeded_qps, packed_seeded_recall) = next(
+                    ((q, r) for q, r, nm in variants if nm == "seeded"),
+                    (None, None))
+                (packed_descent_qps, packed_descent_recall) = next(
+                    ((q, r) for q, r, nm in variants if nm == "descent"),
+                    (None, None))
+                print(f"[bench] tpu packed(best={packed_entry}): "
+                      f"{packed_qps:,.0f} qps, "
+                      f"recall@10={packed_recall:.4f} "
+                      f"(pack {pack_s:.0f}s, "
+                      f"{packed.nbytes() / 1e9:.1f} GB)", file=sys.stderr)
         except Exception as exc:
             print(f"[bench] packed path failed: {exc}", file=sys.stderr)
 
@@ -311,6 +337,17 @@ def main() -> None:
         packed_qps=round(packed_qps, 1) if packed_qps else None,
         packed_recall_at_10=(round(packed_recall, 4)
                              if packed_qps else None),
+        packed_entry=packed_entry,
+        packed_seeded_qps=(round(packed_seeded_qps, 1)
+                           if packed_seeded_qps else None),
+        packed_seeded_recall_at_10=(round(packed_seeded_recall, 4)
+                                    if packed_seeded_recall is not None
+                                    else None),
+        packed_descent_qps=(round(packed_descent_qps, 1)
+                            if packed_descent_qps else None),
+        packed_descent_recall_at_10=(round(packed_descent_recall, 4)
+                                     if packed_descent_recall is not None
+                                     else None),
         scan_qps=round(scan_qps, 1) if scan_qps else None,
         scan_recall_at_10=(round(scan_recall, 4)
                            if scan_recall is not None else None),

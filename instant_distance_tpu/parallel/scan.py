@@ -270,3 +270,45 @@ class ShardedScanIndex:
         vals = [[self.values[j] if j >= 0 else None for j in row]
                 for row in idx]
         return d, i, vals
+
+    # ------------------------------------------------------------------
+    def dump(self, fname: str) -> None:
+        """Persist the scan index (points + metric + values + tombstones)
+        to one npz.  Quantization is recomputed on load — it is a cheap
+        deterministic pass, so storing codes would only bloat the file."""
+        import json as _json
+
+        s, n_s, dim = self.points.shape
+        pts = np.asarray(self.points, np.float32).reshape(
+            s * n_s, dim)[:self.n]
+        arrays = {
+            "magic": np.array("instant-distance-tpu/sharded-scan-v1"),
+            "metric": np.array(self.metric_name),
+            "chunk": np.array(self.chunk, np.int64),
+            "points": pts,
+        }
+        if self.values is not None:
+            arrays["values"] = np.array(_json.dumps(list(self.values)))
+        if self._alive is not None:
+            arrays["alive"] = np.asarray(self._alive, bool)
+        with open(fname, "wb") as f:
+            np.savez(f, **arrays)
+
+    @classmethod
+    def load(cls, fname: str,
+             mesh: Optional[Mesh] = None) -> "ShardedScanIndex":
+        """Load a ``dump`` onto ``mesh`` (default: all devices — the
+        scan shards by even partition, so any mesh size works)."""
+        import json as _json
+
+        with np.load(fname, allow_pickle=False) as z:
+            if str(z["magic"]) != "instant-distance-tpu/sharded-scan-v1":
+                raise ValueError(
+                    f"{fname}: not a sharded scan index")
+            values = (_json.loads(str(z["values"]))
+                      if "values" in z.files else None)
+            idx = cls(z["points"], metric=str(z["metric"]), mesh=mesh,
+                      chunk=int(z["chunk"]), values=values)
+            if "alive" in z.files:
+                idx._alive = np.asarray(z["alive"], bool)
+        return idx

@@ -222,6 +222,25 @@ class ShardedHnsw:
         packed traversal per shard, exact rerank, cross-shard merge."""
         return ShardedPackedHnsw.from_sharded(self, pack_links=pack_links)
 
+    # ------------------------------------------------------------------
+    def dump(self, fname: str) -> None:
+        """Persist all shards' graph arrays to one npz.  The sharded
+        indices are the ones you least want to rebuild; the reference
+        persists only single-address-space indices (py src/lib.rs:59-75).
+        Serving forms (``pack()``) recompile from the loaded graph."""
+        from ..utils import serialize
+
+        serialize.dump_sharded(self, fname)
+
+    @classmethod
+    def load(cls, fname: str, mesh: Optional[Mesh] = None) -> "ShardedHnsw":
+        """Load a ``dump`` onto ``mesh`` (default: the first S devices
+        where S is the dump's shard count; a different-size mesh
+        raises — re-sharding is a rebuild)."""
+        from ..utils import serialize
+
+        return serialize.load_sharded(fname, mesh=mesh)
+
 
 class ShardedPackedHnsw:
     """Mesh-sharded packed serving index."""

@@ -207,6 +207,73 @@ def load_bincode(fname: str, dims: int = REFERENCE_DIMS,
 
 
 # ---------------------------------------------------------------------------
+# sharded npz (mesh-sharded indices)
+# ---------------------------------------------------------------------------
+
+_MAGIC_SHARDED = "instant-distance-tpu/sharded-v1"
+
+
+def dump_sharded(index, fname: str) -> None:
+    """Persist a ShardedHnsw: all shards' graph arrays in one npz.
+
+    The biggest indices (the sharded ones) are exactly the ones you
+    least want to rebuild; the reference has no analogue (its index is
+    single-address-space, SURVEY.md §5).  The leading shard axis is
+    stored as built — load re-places it onto a mesh of the same size.
+    """
+    arrays = {
+        "magic": np.array(_MAGIC_SHARDED),
+        "config": np.array(_config_to_json(index.config)),
+        "points": np.asarray(index.points, np.float32),   # [S, n_s, D]
+        "zero": np.asarray(index.zero, np.int32),         # [S, n_s, m0]
+        "gids": np.asarray(index.gids, np.int32),         # [S, n_s]
+        "n_layers": np.array(len(index.layers), np.int64),
+        "reverse_drops": np.array(
+            int(getattr(index, "reverse_drops", 0)), np.int64),
+    }
+    for i, layer in enumerate(index.layers):
+        arrays[f"layer_{i}"] = np.asarray(layer, np.int32)
+    if index.values is not None:
+        arrays["values"] = np.array(json.dumps(list(index.values)))
+    if index._alive is not None:
+        arrays["alive"] = np.asarray(index._alive, bool)
+    with open(fname, "wb") as f:
+        np.savez(f, **arrays)
+
+
+def load_sharded(fname: str, mesh=None):
+    """Load a ShardedHnsw dump onto ``mesh`` (default: the first S
+    devices, where S is the dump's shard count).  The shard count is
+    baked into the arrays — re-sharding to a different mesh size is a
+    rebuild, and a mismatched mesh raises."""
+    from ..parallel.mesh import default_mesh
+    from ..parallel.sharded import ShardedHnsw
+
+    with np.load(fname, allow_pickle=False) as z:
+        if str(z["magic"]) != _MAGIC_SHARDED:
+            raise ValueError(
+                f"{fname}: not a sharded instant-distance-tpu index")
+        cfg = _config_from_json(str(z["config"]))
+        points = z["points"]
+        s = points.shape[0]
+        if mesh is None:
+            mesh = default_mesh(s)
+        elif mesh.devices.size != s:
+            raise ValueError(
+                f"dump has {s} shards but mesh has {mesh.devices.size} "
+                "devices; re-sharding requires a rebuild")
+        layers = [z[f"layer_{i}"] for i in range(int(z["n_layers"]))]
+        values = (json.loads(str(z["values"]))
+                  if "values" in z.files else None)
+        idx = ShardedHnsw(points, z["zero"], layers, z["gids"], cfg,
+                          mesh, values=values)
+        if "alive" in z.files:
+            idx._alive = np.asarray(z["alive"], bool)
+        idx.reverse_drops = int(z["reverse_drops"])
+        return idx
+
+
+# ---------------------------------------------------------------------------
 # front door
 # ---------------------------------------------------------------------------
 

@@ -109,3 +109,64 @@ def test_sharded_values_filter_delete(mesh):
     assert int(np.asarray(g3)[0, 0]) != 100
     d4, g4, vals4 = packed.search_batch_values(q[1:2], k=1)
     assert vals4[0][0] == f"v{int(np.asarray(g4)[0, 0])}"
+
+
+def test_sharded_dump_load_roundtrip(mesh, tmp_path):
+    """Persistence of the mesh-sharded graph: a loaded dump answers
+    queries identically to the original (same arrays, same mesh), and
+    values/tombstones survive.  The reference persists only single-
+    address-space indices (py src/lib.rs:59-75); sharded dumps have no
+    reference analogue but the biggest indices need them most."""
+    rng = np.random.default_rng(47)
+    pts = rng.random((640, 8), dtype=np.float32)
+    cfg = Config(seed=47, ef_search=32)
+    idx = ShardedHnsw.build(pts, cfg, mesh=mesh,
+                            values=[f"v{i}" for i in range(640)])
+    idx.delete([5])
+    q = pts[100:116]
+    d0, g0 = idx.search_batch(q, k=10)
+
+    fname = str(tmp_path / "sharded.npz")
+    idx.dump(fname)
+    idx2 = ShardedHnsw.load(fname, mesh=mesh)
+    assert idx2.n_shards == idx.n_shards
+    assert len(idx2) == len(idx)
+    d1, g1 = idx2.search_batch(q, k=10)
+    np.testing.assert_array_equal(np.asarray(g0), np.asarray(g1))
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), rtol=1e-6)
+    # values + tombstones round-trip
+    _, gv, vals = idx2.search_batch_values(q[:1], k=1)
+    assert vals[0][0] == f"v{int(np.asarray(gv)[0, 0])}"
+    d2, g2 = idx2.search_batch(pts[5:6], k=1)
+    assert int(np.asarray(g2)[0, 0]) != 5
+    # default mesh pickup (no mesh arg) also works on this 8-dev backend
+    idx3 = ShardedHnsw.load(fname)
+    d3, g3 = idx3.search_batch(q[:4], k=10)
+    np.testing.assert_array_equal(np.asarray(g0)[:4], np.asarray(g3))
+
+    # mesh-size mismatch is an error, not a silent re-shard
+    with pytest.raises(ValueError):
+        ShardedHnsw.load(fname, mesh=default_mesh(4))
+
+
+def test_sharded_scan_dump_load_roundtrip(mesh, tmp_path):
+    from instant_distance_tpu.parallel.scan import ShardedScanIndex
+
+    rng = np.random.default_rng(53)
+    pts = rng.random((500, 8), dtype=np.float32)
+    idx = ShardedScanIndex(pts, mesh=mesh,
+                           values=[f"s{i}" for i in range(500)])
+    idx.delete([7])
+    q = pts[40:48]
+    d0, g0 = idx.search_batch(q, k=5)
+
+    fname = str(tmp_path / "sscan.npz")
+    idx.dump(fname)
+    idx2 = ShardedScanIndex.load(fname, mesh=mesh)
+    d1, g1 = idx2.search_batch(q, k=5)
+    np.testing.assert_array_equal(np.asarray(g0), np.asarray(g1))
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), rtol=1e-6)
+    _, gv, vals = idx2.search_batch_values(q[:1], k=1)
+    assert vals[0][0] == f"s{int(np.asarray(gv)[0, 0])}"
+    d2, g2 = idx2.search_batch(pts[7:8], k=1)
+    assert int(np.asarray(g2)[0, 0]) != 7
