@@ -27,6 +27,15 @@ DEFAULT_M = 32
 INVALID = -1
 
 
+def resolve_seed(seed: Optional[int]) -> int:
+    """Resolve ``Config.seed``: an explicit seed passes through, ``None``
+    draws entropy — at BUILD time, not ``Config()`` time (the reference
+    seeds ``Builder::default`` from entropy the same way, lib.rs:108).
+    Lazy resolution keeps ``Config() == Config()`` true, so default
+    configs hash/compare stably and jit-cache keys don't churn."""
+    return seed if seed is not None else secrets.randbits(64)
+
+
 @dataclasses.dataclass(frozen=True)
 class Heuristic:
     """Algorithm-4 neighbor-selection knobs (reference lib.rs:115-128)."""
@@ -111,9 +120,15 @@ class Config:
     #: dropped, counted (``reverse_drops``) and warned about.
     rev_rounds: Optional[int] = None
 
+    #: Construction waves whose inserted prefix is smaller than this use
+    #: the EXACT streamed scan for their candidate search instead of the
+    #: fused bucket kernel (whose stride-group minima lose
+    #: ~efc^2*lsub/(2*prefix) true candidates — ruinous for the early
+    #: waves that build the graph's backbone, negligible later).
+    #: None = default (131072); 0 = always fused (tests).
+    construct_exact_prefix: Optional[int] = None
+
     def __post_init__(self) -> None:
-        if self.seed is None:
-            self.seed = secrets.randbits(64)
         if self.ef_construction < 1 or self.ef_search < 1:
             raise ValueError("ef_search and ef_construction must be >= 1")
         if self.m < 1:

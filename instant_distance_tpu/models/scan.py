@@ -226,6 +226,59 @@ def _fused_int_search_jit(queries, codes_t, norms_r, sg, points,
 
 @functools.partial(
     jax.jit,
+    static_argnames=("ef", "k", "lsub", "qb", "cb", "inner", "rerank",
+                     "interpret", "metric_name"))
+def _fused_int_packed_search_jit(queries, codes_t, norms_r, sg, points,
+                                 eligible, *, metric_name, ef, k, lsub,
+                                 qb, cb, inner, rerank, interpret):
+    """Packed-key int-epilogue fused scan (ops/scan_kernel.py:
+    fused_scan_bucket_int_packed): the slab index rides the rank's low
+    bits, so the kernel's epilogue is a 2-op key + 1 min per element
+    and it emits ONE output array — ids are reconstructed here from
+    the key bits and the output position."""
+    from ..ops.scan_kernel import (PACK_INELIGIBLE, PACK_THRESH,
+                                   fused_scan_bucket_int_packed)
+
+    qs = jnp.maximum(jnp.max(jnp.abs(queries)), 1e-30) / 127.0
+    qc = jnp.clip(jnp.round(queries / qs), -127, 127).astype(jnp.int8)
+    denom = 2.0 * qs * sg
+    wclamp = (1 << 29) // lsub - 1
+    w = jnp.where(jnp.isfinite(norms_r),
+                  jnp.clip(jnp.round(norms_r / denom), 0, wclamp),
+                  0).astype(jnp.int32)
+    ct = cb // lsub
+    col = jax.lax.broadcasted_iota(jnp.int32, w.shape, 1)
+    w2 = w * lsub + (col % cb) // ct
+    inel = ~jnp.isfinite(norms_r)
+    if eligible is not None:
+        npad = norms_r.shape[1] - eligible.shape[0]
+        inel = inel | ~jnp.pad(eligible, (0, npad))[None, :]
+    w2 = jnp.where(inel, PACK_INELIGIBLE, w2)
+    od = fused_scan_bucket_int_packed(qc, w2, codes_t, lsub=lsub, qb=qb,
+                                      cb=cb, inner=inner,
+                                      interpret=interpret)
+    efk = min(ef, od.shape[1])
+    # f32 keys are for SELECTION only (rounding above 2^24 could corrupt
+    # the packed slab bits) — the exact int keys are re-gathered by
+    # position before decoding ids
+    _, nidx = jax.lax.approx_min_k(od.astype(jnp.float32), efk)
+    keys = jnp.take_along_axis(od, nidx, axis=1)
+    blk = nidx // ct
+    lane = nidx % ct
+    bi = blk * cb + (keys & (lsub - 1)) * ct + lane
+    bi = jnp.where(keys < PACK_THRESH, bi, -1)
+    if not rerank:
+        shift = lsub.bit_length() - 1
+        rank = jnp.right_shift(keys, shift).astype(jnp.float32)
+        qn2 = jnp.sum(queries * queries, axis=1, keepdims=True)
+        bd = jnp.where(bi >= 0, rank * denom + qn2, jnp.inf)
+        bd, bi = jax.lax.sort((bd, bi), dimension=1, num_keys=2)
+        return bd[:, :k], bi[:, :k]
+    return rerank_exact(queries, points, bi, resolve(metric_name), k)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("metric_name", "ef", "k", "lsub", "topt", "qb",
                      "cb", "inner", "rerank", "interpret", "mode"))
 def _fused_search_jit(queries, codes_t, scales_r, norms_r, points,
@@ -480,11 +533,14 @@ class ScanIndex:
         if fused and len(self) >= cb * inner:
             mode = fused if isinstance(fused, str) else "bucket"
             is_l2 = metric_name in ("sqeuclidean", "euclidean")
-            if mode == "bucket_int" and not is_l2:
+            if mode in ("bucket_int", "bucket_pack") and not is_l2:
                 mode = "bucket"  # the shared-scale rank trick is L2-only
             if mode.startswith("bucket") and lsub == 16 \
                     and cb == self._FUSED_CB:
                 lsub = 32  # measured best: 128-lane output tiles
+            if (mode == "bucket_pack"
+                    and queries.shape[1] * lsub > 16384):
+                mode = "bucket_int"  # packed keys would overflow
             qb = qb or (512 if queries.shape[0] >= 512
                         else self._FUSED_QB)
             b = queries.shape[0]
@@ -494,7 +550,15 @@ class ScanIndex:
                                             (pad, queries.shape[1]))])
                  if pad else queries)
             interp = jax.default_backend() == "cpu"
-            if mode == "bucket_int":
+            if mode == "bucket_pack":
+                codes_t, norms_r, sg = self._fused_int_arrays(cb * inner)
+                d, i = _fused_int_packed_search_jit(
+                    q, codes_t, norms_r, sg, self.points,
+                    self._eligible(filter_mask),
+                    metric_name="sqeuclidean", ef=ef, k=k, lsub=lsub,
+                    qb=qb, cb=cb, inner=inner, rerank=rerank,
+                    interpret=interp)
+            elif mode == "bucket_int":
                 codes_t, norms_r, sg = self._fused_int_arrays(cb * inner)
                 d, i = _fused_int_search_jit(
                     q, codes_t, norms_r, sg, self.points,

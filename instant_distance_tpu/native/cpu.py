@@ -99,6 +99,12 @@ def _as_c(arr: np.ndarray):
     return arr.ctypes.data_as(ctypes.c_void_p)
 
 
+def _cfg_seed(config) -> int:
+    from ..config import resolve_seed
+
+    return resolve_seed(config.seed)
+
+
 class NativeHnsw:
     """Host-side HNSW engine handle."""
 
@@ -132,7 +138,8 @@ class NativeHnsw:
                 f"{config.metric!r}")
         h = lib.idtpu_build(
             _as_c(pts), n, dim, config.m, config.ef_construction,
-            ctypes.c_float(config.ml), ctypes.c_uint64(config.seed),
+            ctypes.c_float(config.ml),
+            ctypes.c_uint64(_cfg_seed(config)),
             _METRICS[metric],
             0 if config.heuristic is None else 1,
             1 if (config.heuristic and config.heuristic.extend_candidates)

@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import Config, layer_sizes
+from ..config import Config, layer_sizes, resolve_seed
 from .beam import beam_search_layer
 from .distance import Metric, resolve
 from . import select as sel_ops
@@ -264,9 +264,11 @@ def wave_step_core(adj, adjd, wave_pids, points, stacked, offsets, n_upper,
                                    interpret=jax.default_backend() == "cpu")
         od, oi = od[:w], oi[:w]
         k_sel = min(efc, od.shape[1])
-        # candidate quality feeds graph quality: merge at a tighter
-        # recall target than serving (which has the rerank safety net)
-        md, nidx = jax.lax.approx_min_k(od, k_sel, recall_target=0.99)
+        # candidate quality feeds graph quality: merge at a much tighter
+        # recall target than serving (which has the rerank safety net) —
+        # the r2 build's 0.99 here plus lsub=32 stride collisions cost
+        # ~1.2 pts of exact-graph recall (VERDICT.md round 2, item 1)
+        md, nidx = jax.lax.approx_min_k(od, k_sel, recall_target=0.999)
         cand_p = jnp.take_along_axis(oi, nidx, axis=1)
         cand_p = jnp.where(jnp.isfinite(md), cand_p, -1)
         if k_sel < efc:
@@ -283,18 +285,20 @@ def wave_step_core(adj, adjd, wave_pids, points, stacked, offsets, n_upper,
         from ..models.scan import scan_candidates
 
         filled = wave_pids[0]  # builders put the lowest pid in lane 0
+        # codes may cover only the exact-prefix region (hybrid builds
+        # hand early waves sliced flat operands; see build_graph)
+        npts = codes.shape[0]
         prefix = jax.lax.broadcasted_iota(
-            jnp.int32, (n, 1), 0)[:, 0] < filled
+            jnp.int32, (npts, 1), 0)[:, 0] < filled
         # per-chunk approx_min_k losses compound across n/chunk chunks
         # and there is no serving-time rerank to repair edge quality —
-        # 0.99 per chunk keeps multi-chunk builds (2M+: 16 chunks) at
-        # single-chunk recall for ~zero extra cost (roadmap item 4)
+        # construction merges run essentially exact (0.9999)
         cand_ad, cand_p = scan_candidates(
             q, codes, scales, norms, prefix,
             metric_name=(metric_name if isinstance(metric_name, str)
                          else "sqeuclidean"),
-            ef=efc, chunk=min(1 << 17, n), approx_topk=True,
-            approx_recall=0.99)
+            ef=efc, chunk=min(1 << 17, npts), approx_topk=True,
+            approx_recall=0.9999)
         # exact rerank (selection runs on true distances, like the
         # reference's Search results)
         cand_d = metric.gathered(q, points[jnp.clip(cand_p, 0)])
@@ -346,8 +350,11 @@ def wave_step_core(adj, adjd, wave_pids, points, stacked, offsets, n_upper,
         # 4096-wide row is ~100x the work of approx_min_k and was a
         # dominant fixed cost of every wave.  Ties break by column
         # index == ascending pid (wave pids are sorted), matching the
-        # Candidate order the full sort used.
-        peer_d, pidx = jax.lax.approx_min_k(pw, k_peers)
+        # Candidate order the full sort used.  recall_target 0.999:
+        # the default 0.95 silently lost ~5% of each point's nearest
+        # wave peers — a graph-quality leak in BOTH build modes.
+        peer_d, pidx = jax.lax.approx_min_k(pw, k_peers,
+                                            recall_target=0.999)
         peer_p = jnp.where(jnp.isfinite(peer_d),
                            wave_pids[jnp.clip(pidx, 0)], -1)
         cd = jnp.concatenate([cand_d, peer_d], axis=1)
@@ -522,8 +529,17 @@ def _resolve_search_mode(cfg, metric_name) -> str:
     return mode
 
 
-_FUSED_CB = 4096   # fused construction scan: point block (xN lsub=32)
-_FUSED_LSUB = 32
+_FUSED_CB = 4096   # fused construction scan: point block
+#: Stride-group width of the fused construction scan.  A true candidate
+#: is lost when a nearer point shares its group: expected losses among
+#: the top-efc are ~efc^2*lsub/(2*prefix).  Serving uses lsub=32 (the
+#: rerank repairs it); construction uses 8 — at the hybrid switchover
+#: prefix (131072) that is ~0.3 of efc=100 candidates, falling as the
+#: prefix grows.  cb/lsub must stay a 128-lane multiple: 4096/8 = 512.
+_FUSED_LSUB = 8
+#: Waves whose inserted prefix is below this use the exact streamed scan
+#: (see Config.construct_exact_prefix).
+_SCAN_EXACT_PREFIX = 1 << 17
 
 
 def _quantize_for_scan(points, fused: bool = False,
@@ -563,6 +579,36 @@ def _quantize_for_scan(points, fused: bool = False,
 # ---------------------------------------------------------------------------
 # host-side build driver
 # ---------------------------------------------------------------------------
+
+def _exact_prefix_of(cfg) -> int:
+    v = getattr(cfg, "construct_exact_prefix", None)
+    return _SCAN_EXACT_PREFIX if v is None else int(v)
+
+
+def _scan_operands(dev_points, search_mode: str, metric_name,
+                   exact_prefix: int):
+    """Wave-search operand triples ``(main_ops, flat_ops)``.
+
+    ``main_ops`` feeds ``search_mode`` itself ((None,)*3 for beam);
+    ``flat_ops`` is the sliced exact-prefix streamed-scan operands that
+    hybrid scan_fused builds hand to waves whose inserted prefix is
+    still below ``exact_prefix`` — candidate EXACTNESS while the graph
+    backbone forms (the fused kernel's stride-group loss scales as
+    efc^2*lsub/(2*prefix): ruinous at prefix=4k, negligible past 128k).
+    """
+    if not search_mode.startswith("scan"):
+        return (None, None, None), None
+    mn = metric_name if isinstance(metric_name, str) else "sqeuclidean"
+    if search_mode == "scan":
+        return _quantize_for_scan(dev_points, fused=False), None
+    n = dev_points.shape[0]
+    main = _quantize_for_scan(dev_points, fused=True, metric_name=mn)
+    flat = None
+    if exact_prefix > 0:
+        flat = _quantize_for_scan(dev_points[:min(n, exact_prefix)],
+                                  fused=False)
+    return main, flat
+
 
 def _wave_schedule(start: int, end: int, cap: int):
     """Doubling wave sizes: wave <= points already inserted (so batched
@@ -682,13 +728,9 @@ def extend_graph(points, zero, layers, new_points, config: Config,
     n_upper = jnp.int32(len(uppers))
     pend_cap, rev_rounds = _rev_params(cfg, m0)
     search_mode = _resolve_search_mode(cfg, metric_name)
-    if search_mode.startswith("scan"):
-        codes, cscales, cnorms = _quantize_for_scan(
-            all_pts, fused=search_mode == "scan_fused",
-            metric_name=metric_name if isinstance(metric_name, str)
-            else "sqeuclidean")
-    else:
-        codes = cscales = cnorms = None
+    exact_prefix = _exact_prefix_of(cfg)
+    main_ops, flat_ops = _scan_operands(all_pts, search_mode,
+                                        metric_name, exact_prefix)
     drops = jnp.int32(0)
     done = 0
     for s, e in _wave_schedule(n_old, n_total, cfg.wave_size):
@@ -696,16 +738,21 @@ def extend_graph(points, zero, layers, new_points, config: Config,
         wb = _bucket(w, cfg.wave_size)
         wave = np.full(wb, -1, np.int32)
         wave[:w] = np.arange(s, e, dtype=np.int32)
+        if (search_mode == "scan_fused" and flat_ops is not None
+                and s < exact_prefix):
+            mode_w, (wcodes, wscales, wnorms) = "scan", flat_ops
+        else:
+            mode_w, (wcodes, wscales, wnorms) = search_mode, main_ops
         adj, adjd, dd = _wave_step(
             adj, adjd, jnp.asarray(wave), all_pts, stacked,
             jnp.asarray(offsets), n_upper, jnp.int32(m0),
-            codes, cscales, cnorms,
+            wcodes, wscales, wnorms,
             metric_name=metric_name, efc=cfg.ef_construction,
             m=m, m0=m0, heuristic=heur,
             rev_chunk=8192, pend_cap=pend_cap, rev_rounds=rev_rounds,
             max_iter_factor=cfg.max_iter_factor,
             expand=getattr(cfg, "construct_expand", 1),
-            search_mode=search_mode,
+            search_mode=mode_w,
             pd_dtype=getattr(cfg, "select_pd_dtype", "bfloat16"))
         drops = drops + dd
         done += w
@@ -792,8 +839,41 @@ def build_graph(points, config: Config, progress=None,
     if n >= 2**31:
         raise ValueError("point count must fit in int32")
 
+    heur = (None if cfg.heuristic is None else
+            (cfg.heuristic.extend_candidates, cfg.heuristic.keep_pruned))
+    pend_cap, rev_rounds = _rev_params(cfg, m0)
+    search_mode = _resolve_search_mode(cfg, metric_name)
+    exact_prefix = _exact_prefix_of(cfg)
+
+    # ---- checkpoint peek + seed resolution --------------------------------
+    # The key excludes the seed: an entropy-seeded build (seed=None)
+    # adopts the checkpoint's stored seed on resume, while an explicit
+    # seed must match or the checkpoint is ignored.
+    ckpt_key = f"v4:{n}:{pts.shape[1]}:{cfg.ef_construction}:" \
+               f"{m}:{cfg.ml}:{heur}:{cfg.wave_size}:{pend_cap}:" \
+               f"{rev_rounds}:{cfg.max_iter_factor}:" \
+               f"{getattr(cfg, 'construct_expand', 1)}:{search_mode}:" \
+               f"{getattr(cfg, 'select_pd_dtype', 'bfloat16')}:" \
+               f"{exact_prefix}"
+    seed = cfg.seed
+    ckpt_state = None
+    if checkpoint is not None:
+        import os
+        if os.path.exists(checkpoint):
+            with np.load(checkpoint, allow_pickle=False) as z:
+                if (str(z["key"]) == ckpt_key and "seed" in z.files
+                        and (seed is None or int(z["seed"]) == seed)):
+                    seed = int(z["seed"])
+                    ckpt_state = dict(
+                        adj=z["adj"], adjd=z["adjd"],
+                        stacked=z["stacked"], offsets=z["offsets"].copy(),
+                        write_off=int(z["write_off"]),
+                        li=int(z["li"]), s=int(z["s"]),
+                        drops=int(z["drops"]) if "drops" in z.files else 0)
+    seed = resolve_seed(seed)
+
     # random layer assignment via shuffle-sort (lib.rs:256-270)
-    rng = np.random.default_rng(cfg.seed)
+    rng = np.random.default_rng(seed)
     keys = rng.integers(0, n, size=n)
     order = np.lexsort((np.arange(n), keys))
     ids = np.empty(n, np.int32)
@@ -825,46 +905,27 @@ def build_graph(points, config: Config, progress=None,
         raise ValueError("more than 16 upper layers (n too large for ml)")
     write_off = 0
 
-    heur = (None if cfg.heuristic is None else
-            (cfg.heuristic.extend_candidates, cfg.heuristic.keep_pruned))
-
-    pend_cap, rev_rounds = _rev_params(cfg, m0)
-    search_mode = _resolve_search_mode(cfg, metric_name)
-    if search_mode.startswith("scan"):
-        codes, cscales, cnorms = _quantize_for_scan(
-            dev_points, fused=search_mode == "scan_fused",
-            metric_name=metric_name if isinstance(metric_name, str)
-            else "sqeuclidean")
-    else:
-        codes = cscales = cnorms = None
+    main_ops, flat_ops = _scan_operands(dev_points, search_mode,
+                                        metric_name, exact_prefix)
 
     # ---- checkpoint/resume ------------------------------------------------
-    ckpt_key = f"v3:{n}:{pts.shape[1]}:{cfg.seed}:{cfg.ef_construction}:" \
-               f"{m}:{cfg.ml}:{heur}:{cfg.wave_size}:{pend_cap}:" \
-               f"{rev_rounds}:{cfg.max_iter_factor}:" \
-               f"{getattr(cfg, 'construct_expand', 1)}:{search_mode}:" \
-               f"{getattr(cfg, 'select_pd_dtype', 'bfloat16')}"
     resume_li, resume_s, waves_done = -1, -1, 0
     drops = jnp.int32(0)
-    if checkpoint is not None:
-        import os
-        if os.path.exists(checkpoint):
-            with np.load(checkpoint, allow_pickle=False) as z:
-                if str(z["key"]) == ckpt_key:
-                    adj = jnp.asarray(z["adj"])
-                    adjd = jnp.asarray(z["adjd"])
-                    stacked = jnp.asarray(z["stacked"])
-                    offsets = z["offsets"].copy()
-                    write_off = int(z["write_off"])
-                    resume_li, resume_s = int(z["li"]), int(z["s"])
-                    if "drops" in z.files:
-                        drops = jnp.int32(int(z["drops"]))
+    if ckpt_state is not None:
+        adj = jnp.asarray(ckpt_state["adj"])
+        adjd = jnp.asarray(ckpt_state["adjd"])
+        stacked = jnp.asarray(ckpt_state["stacked"])
+        offsets = ckpt_state["offsets"]
+        write_off = ckpt_state["write_off"]
+        resume_li, resume_s = ckpt_state["li"], ckpt_state["s"]
+        drops = jnp.int32(ckpt_state["drops"])
 
     def save_ckpt(li, s):
         import os
         tmp = checkpoint + ".tmp"
         with open(tmp, "wb") as f:
-            np.savez(f, key=np.array(ckpt_key), adj=np.asarray(adj),
+            np.savez(f, key=np.array(ckpt_key), seed=np.uint64(seed),
+                     adj=np.asarray(adj),
                      adjd=np.asarray(adjd), stacked=np.asarray(stacked),
                      offsets=offsets, write_off=write_off, li=li, s=s,
                      drops=int(drops))
@@ -883,16 +944,21 @@ def build_graph(points, config: Config, progress=None,
             wb = _bucket(w, cfg.wave_size)
             wave = np.full(wb, -1, np.int32)
             wave[:w] = np.arange(s, e, dtype=np.int32)
+            if (search_mode == "scan_fused" and flat_ops is not None
+                    and s < exact_prefix):
+                mode_w, (wcodes, wscales, wnorms) = "scan", flat_ops
+            else:
+                mode_w, (wcodes, wscales, wnorms) = search_mode, main_ops
             adj, adjd, dd = _wave_step(
                 adj, adjd, jnp.asarray(wave), dev_points, stacked,
                 jnp.asarray(offsets), n_upper, jnp.int32(zero_links),
-                codes, cscales, cnorms,
+                wcodes, wscales, wnorms,
                 metric_name=metric_name, efc=cfg.ef_construction,
                 m=m, m0=m0, heuristic=heur,
                 rev_chunk=8192, pend_cap=pend_cap, rev_rounds=rev_rounds,
                 max_iter_factor=cfg.max_iter_factor,
                 expand=getattr(cfg, "construct_expand", 1),
-                search_mode=search_mode,
+                search_mode=mode_w,
                 pd_dtype=getattr(cfg, "select_pd_dtype", "bfloat16"))
             drops = drops + dd
             done += w

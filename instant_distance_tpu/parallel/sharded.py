@@ -110,7 +110,15 @@ class ShardedHnsw:
         single-chip checkpoint, for the biggest builds where it matters
         most.  Resume is bit-exact (the wave schedule is deterministic).
         """
+        import dataclasses
+
+        from ..config import resolve_seed
+
         config = config or Config()
+        # pin the (possibly entropy-drawn) seed: the local shuffle, the
+        # checkpoint key and the per-shard layer schedule must agree
+        config = dataclasses.replace(config,
+                                     seed=resolve_seed(config.seed))
         if values is not None and len(values) != len(points):
             raise ValueError("points and values must have the same length")
         mesh = mesh or default_mesh()
@@ -400,42 +408,60 @@ def _build_sharded(shard_pts: np.ndarray, config: Config, mesh: Mesh,
     heur = (None if cfg.heuristic is None else
             (cfg.heuristic.extend_candidates, cfg.heuristic.keep_pruned))
 
-    from ..ops.construct import (_quantize_for_scan, _resolve_search_mode,
-                                 _rev_params)
+    from ..ops.construct import (_exact_prefix_of, _quantize_for_scan,
+                                 _resolve_search_mode, _rev_params)
 
     pend_cap, rev_rounds = _rev_params(cfg, m0)
     search_mode = _resolve_search_mode(cfg, cfg.metric)
-    if search_mode.startswith("scan"):
-        qfn = functools.partial(_quantize_for_scan,
-                                fused=search_mode == "scan_fused")
-        codes, cscales, cnorms = jax.jit(
+    qmetric = cfg.metric if isinstance(cfg.metric, str) else "sqeuclidean"
+
+    def _quantize_sharded(dev, fused: bool):
+        qfn = functools.partial(_quantize_for_scan, fused=fused,
+                                metric_name=qmetric)
+        return jax.jit(
             jax.shard_map(jax.vmap(qfn), mesh=mesh,
                           in_specs=P(SHARD_AXIS),
                           out_specs=(P(SHARD_AXIS),) * 3,
-                          check_vma=False))(dev_pts)
+                          check_vma=False))(dev)
+
+    if search_mode.startswith("scan"):
+        codes, cscales, cnorms = _quantize_sharded(
+            dev_pts, fused=search_mode == "scan_fused")
     else:  # beam mode ignores the scan operands; tiny sharded dummies
         codes = jax.device_put(jnp.zeros((s, 1, 1), jnp.int8), shard)
         cscales = jax.device_put(jnp.zeros((s, 1), jnp.float32), shard)
         cnorms = jax.device_put(jnp.zeros((s, 1), jnp.float32), shard)
-    core = functools.partial(
-        wave_step_core, metric_name=cfg.metric,
-        efc=cfg.ef_construction, m=m, m0=m0,
-        heuristic=heur, rev_chunk=8192, pend_cap=pend_cap,
-        rev_rounds=rev_rounds,
-        max_iter_factor=cfg.max_iter_factor,
-        expand=getattr(cfg, "construct_expand", 1),
-        search_mode=search_mode,
-        pd_dtype=getattr(cfg, 'select_pd_dtype', 'bfloat16'))
-    vc = jax.vmap(core, in_axes=(0, 0, None, 0, 0, None, None, None,
-                                 0, 0, 0))
-    step = jax.jit(jax.shard_map(
-        vc, mesh=mesh,
-        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(None), P(SHARD_AXIS),
-                  P(SHARD_AXIS), P(None), P(), P(),
-                  P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
-        out_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
-        check_vma=False),
-        donate_argnums=(0, 1))
+
+    def _make_step(mode: str):
+        core = functools.partial(
+            wave_step_core, metric_name=cfg.metric,
+            efc=cfg.ef_construction, m=m, m0=m0,
+            heuristic=heur, rev_chunk=8192, pend_cap=pend_cap,
+            rev_rounds=rev_rounds,
+            max_iter_factor=cfg.max_iter_factor,
+            expand=getattr(cfg, "construct_expand", 1),
+            search_mode=mode,
+            pd_dtype=getattr(cfg, 'select_pd_dtype', 'bfloat16'))
+        vc = jax.vmap(core, in_axes=(0, 0, None, 0, 0, None, None, None,
+                                     0, 0, 0))
+        return jax.jit(jax.shard_map(
+            vc, mesh=mesh,
+            in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(None),
+                      P(SHARD_AXIS), P(SHARD_AXIS), P(None), P(), P(),
+                      P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
+            out_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
+            check_vma=False),
+            donate_argnums=(0, 1))
+
+    step = _make_step(search_mode)
+    # early-wave exact-prefix hybrid (see ops/construct.py): each
+    # shard's backbone waves get exact streamed-scan candidates
+    exact_prefix = _exact_prefix_of(cfg)
+    flat_step = flat_ops_s = None
+    if search_mode == "scan_fused" and exact_prefix > 0:
+        flat_ops_s = _quantize_sharded(
+            dev_pts[:, :min(n_s, exact_prefix)], fused=False)
+        flat_step = _make_step("scan")
 
     offsets = np.zeros(16, np.int32)
     write_off = 0
@@ -443,12 +469,13 @@ def _build_sharded(shard_pts: np.ndarray, config: Config, mesh: Mesh,
     drops = 0
 
     # ---- checkpoint/resume ------------------------------------------------
-    ckpt_key = f"sharded-v2:{s}:{n_s}:{dim}:{cfg.seed}:" \
+    ckpt_key = f"sharded-v3:{s}:{n_s}:{dim}:{cfg.seed}:" \
                f"{cfg.ef_construction}:{m}:{cfg.ml}:{heur}:" \
                f"{cfg.wave_size}:{pend_cap}:{rev_rounds}:" \
                f"{cfg.max_iter_factor}:" \
                f"{getattr(cfg, 'construct_expand', 1)}:{search_mode}:" \
-               f"{getattr(cfg, 'select_pd_dtype', 'bfloat16')}"
+               f"{getattr(cfg, 'select_pd_dtype', 'bfloat16')}:" \
+               f"{exact_prefix}"
     resume_li, resume_ws, waves_done = -1, -1, 0
     if checkpoint is not None:
         import os
@@ -487,12 +514,17 @@ def _build_sharded(shard_pts: np.ndarray, config: Config, mesh: Mesh,
             wb = _bucket(w, cfg.wave_size)
             wave = np.full(wb, -1, np.int32)
             wave[:w] = np.arange(ws, we, dtype=np.int32)
-            adj, adjd, dd = step(adj, adjd,
-                                 jax.device_put(jnp.asarray(wave), repl),
-                                 dev_pts, stacked,
-                                 jax.device_put(jnp.asarray(offsets), repl),
-                                 jnp.int32(li), jnp.int32(zero_links),
-                                 codes, cscales, cnorms)
+            if flat_step is not None and ws < exact_prefix:
+                st_fn, (wc, wsc, wno) = flat_step, flat_ops_s
+            else:
+                st_fn, (wc, wsc, wno) = step, (codes, cscales, cnorms)
+            adj, adjd, dd = st_fn(adj, adjd,
+                                  jax.device_put(jnp.asarray(wave), repl),
+                                  dev_pts, stacked,
+                                  jax.device_put(jnp.asarray(offsets),
+                                                 repl),
+                                  jnp.int32(li), jnp.int32(zero_links),
+                                  wc, wsc, wno)
             drops = drops + jnp.sum(dd)
             done += w * s
             waves_done += 1

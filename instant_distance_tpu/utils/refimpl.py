@@ -149,7 +149,9 @@ class RefHnsw:
             return
 
         # --- random layer assignment via shuffle-sort (lib.rs:256-270) ----
-        rng = np.random.default_rng(config.seed)
+        from ..config import resolve_seed
+
+        rng = np.random.default_rng(resolve_seed(config.seed))
         keys = rng.integers(0, n, size=n)
         order = np.lexsort((np.arange(n), keys))  # sort by (key, index)
         ids = np.empty(n, np.int32)

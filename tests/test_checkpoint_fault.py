@@ -86,3 +86,25 @@ def test_stale_checkpoint_ignored(tmp_path):
     ref, ref_ids = Hnsw.build(pts, cfg2)
     np.testing.assert_array_equal(np.asarray(index.zero),
                                   np.asarray(ref.zero))
+
+
+def test_entropy_seed_resume_adopts_stored_seed(tmp_path):
+    """seed=None (entropy) builds resolve the seed at build time; the
+    checkpoint stores it, and a resume ADOPTS the stored seed so the
+    shuffle (and thus the resumed graph) stays consistent across a
+    process restart."""
+    rng = np.random.default_rng(63)
+    pts = rng.random((600, 8), dtype=np.float32)
+    cfg = Config(seed=None, ef_search=32, wave_size=64)
+    assert cfg.seed is None  # lazy: not resolved at Config() time
+
+    ckpt = str(tmp_path / "ck_entropy.npz")
+    index, ids, attempts = _build_with_crashes(pts, cfg, ckpt, 5)
+    assert attempts == 2
+    # the graph is self-consistent: every point finds itself
+    d, p = index.search_batch(pts[:32], k=1, ef=16)
+    got = np.asarray(p)[:, 0]
+    want = ids[:32]
+    assert (got == want).mean() >= 0.95
+    import os
+    assert not os.path.exists(ckpt)

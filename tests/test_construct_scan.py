@@ -55,12 +55,42 @@ def test_scan_vs_beam_recall(pts):
 
 def test_scan_fused_mode_interpret(pts):
     """The Pallas fused-kernel wave search (the TPU default via "auto")
-    runs here in interpreter mode — same code path the TPU compiles."""
+    runs here in interpreter mode — same code path the TPU compiles.
+    construct_exact_prefix=0 forces EVERY wave through the fused kernel
+    (by default waves below the exact-prefix threshold use the exact
+    streamed scan and this graph would never touch the kernel)."""
     data, queries = pts
     idx, ids = Hnsw.build(data, Config(seed=67, wave_size=512,
-                                       construct_mode="scan_fused"))
+                                       construct_mode="scan_fused",
+                                       construct_exact_prefix=0))
     r = _recall(idx, ids, data, queries)
     assert r >= 0.97, f"scan_fused recall {r}"
+
+
+def test_scan_fused_hybrid_prefix(pts):
+    """Hybrid dispatch: waves below construct_exact_prefix run the exact
+    streamed scan, the rest the fused kernel — the graph must meet the
+    same floor and match the all-exact build closely."""
+    data, queries = pts
+    hybrid, hids = Hnsw.build(data, Config(seed=67, wave_size=512,
+                                           construct_mode="scan_fused",
+                                           construct_exact_prefix=1024))
+    exact, eids = Hnsw.build(data, Config(seed=67, wave_size=512,
+                                          construct_mode="scan"))
+    r_h = _recall(hybrid, hids, data, queries)
+    r_e = _recall(exact, eids, data, queries)
+    assert r_h >= 0.97, f"hybrid recall {r_h}"
+    assert r_h >= r_e - 0.02, f"hybrid {r_h} vs exact {r_e}"
+
+
+def test_config_defaults_compare_equal():
+    """Config() == Config(): the seed resolves lazily at build time
+    (VERDICT r2 item 10 — an entropy seed drawn in __post_init__ made
+    every default config unique, churning jit-cache keys)."""
+    assert Config() == Config()
+    assert Config().seed is None
+    c = Config(seed=7)
+    assert c == Config(seed=7) and c != Config()
 
 
 def test_auto_resolves_beam_for_callable_metric(pts):

@@ -57,6 +57,69 @@ def test_bucket_int_respects_filter(data):
     assert (got[got >= 0] < len(pts) // 2).all()
 
 
+def test_bucket_pack_recall_matches_bucket(data):
+    """Packed-key variant: ids reconstructed from the key's slab bits +
+    output position must match the tracked-argmin kernel's quality."""
+    pts, queries, gt = data
+    scan = ScanIndex(pts)
+    _, p_f32 = scan.search_batch(queries, fused="bucket", **KW)
+    _, p_pack = scan.search_batch(queries, fused="bucket_pack", **KW)
+    r_f32, r_pack = _recall(p_f32, gt), _recall(p_pack, gt)
+    assert r_f32 >= 0.95
+    assert r_pack >= r_f32 - 0.02, f"pack {r_pack} vs f32 {r_f32}"
+
+
+def test_bucket_pack_ids_match_bucket_int(data):
+    """Same shared-scale ranking, two id recovery schemes: the winning
+    ids must agree (up to exact rank ties) with the int kernel's."""
+    pts, queries, gt = data
+    scan = ScanIndex(pts)
+    _, p_int = scan.search_batch(queries, fused="bucket_int", **KW)
+    _, p_pack = scan.search_batch(queries, fused="bucket_pack", **KW)
+    a, b = np.asarray(p_int), np.asarray(p_pack)
+    agree = np.mean([len(set(a[i]) & set(b[i])) / a.shape[1]
+                     for i in range(len(a))])
+    assert agree >= 0.95, f"id agreement {agree}"
+
+
+def test_bucket_pack_respects_filter(data):
+    pts, queries, gt = data
+    scan = ScanIndex(pts)
+    mask = np.zeros(len(pts), bool)
+    mask[: len(pts) // 2] = True
+    _, p = scan.search_batch(queries, filter_mask=mask,
+                             fused="bucket_pack", **KW)
+    got = np.asarray(p)
+    assert (got[got >= 0] < len(pts) // 2).all()
+
+
+def test_bucket_pack_overflow_guard_falls_back(data):
+    """D*lsub > 16384 would overflow packed keys: the kernel wrapper
+    must reject it, and search_batch must silently route the request to
+    bucket_int instead of returning garbage."""
+    import jax.numpy as jnp
+
+    from instant_distance_tpu.ops.scan_kernel import \
+        fused_scan_bucket_int_packed
+
+    with pytest.raises(ValueError, match="overflow"):
+        fused_scan_bucket_int_packed(
+            jnp.zeros((8, 32), jnp.int8), jnp.zeros((1, 2048), jnp.int32),
+            jnp.zeros((32, 2048), jnp.int8), lsub=1024, qb=8, cb=2048,
+            interpret=True)
+
+    # search_batch path: same request must not raise (bucket_int
+    # fallback) and must return well-formed ids
+    pts, queries, gt = data
+    scan = ScanIndex(pts)
+    _, p = scan.search_batch(queries, k=10, ef=32, qb=8, cb=2048,
+                             lsub=1024, fused="bucket_pack")
+    got = np.asarray(p)
+    # lsub=1024 leaves only N/1024=8 stride groups, so at most 8 results
+    assert got.shape[0] == len(queries) and got.shape[1] <= 10
+    assert (got < len(pts)).all()
+
+
 def test_bucket_int_norerank_values_in_metric_units(data):
     pts, queries, gt = data
     scan = ScanIndex(pts)
