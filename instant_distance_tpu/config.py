@@ -127,6 +127,14 @@ class Config:
     #: waves that build the graph's backbone, negligible later).
     #: None = default (131072); 0 = always fused (tests).
     construct_exact_prefix: Optional[int] = None
+    #: Scan-mode candidate hop expansion: the graph neighbors of each
+    #: wave point's top-H candidates are merged (exact distances,
+    #: deduped) into its candidate list before selection.  Repairs the
+    #: fused kernel's stride-group collision losses AND injects the
+    #: graph-local "bridge" candidates that Alg. 4's pruning rule needs
+    #: — exact nearest-only pools build measurably worse graphs than the
+    #: reference's beam pools (see ops/construct._hop_repair).  0 = off.
+    construct_hop_repair: int = 8
 
     def __post_init__(self) -> None:
         if self.ef_construction < 1 or self.ef_search < 1:

@@ -188,13 +188,53 @@ def _pend_window(utgt, uid_s, rank, dist, src, valid, pend_cap: int, r: int):
 # the jitted wave step
 # ---------------------------------------------------------------------------
 
+def _hop_repair(q, cand_d, cand_p, adj, points, metric, hops: int):
+    """Merge the graph neighbors of the top-``hops`` candidates into the
+    candidate list (exact distances, deduped, re-ranked).
+
+    Two jobs, one op:
+    * **collision repair** — a true neighbor the fused bucket kernel
+      lost to a stride-group collision is, with high probability,
+      adjacent in the graph to a candidate that WAS found (the graph is
+      navigable by construction), so one hop recovers it;
+    * **diversity injection** — exact top-efc candidate pools build
+      measurably worse graphs than the reference's beam pools (r2: scan
+      0.972 vs beam 0.978 exact-graph recall at 1M): the beam's
+      imperfection leaks search-path points into the pool, and Alg. 4's
+      bridging rule (lib.rs:674-679) keeps some as long-range edges.
+      The hop neighborhood restores that graph-local diversity source.
+
+    Cost per wave: one [W, hops*m0] row gather + exact distances + two
+    2-key sorts (dedup by pid, then re-rank by distance).
+    """
+    w, efc = cand_p.shape
+    hops = min(hops, efc)
+    top_p = cand_p[:, :hops]
+    nb = adj[jnp.clip(top_p, 0)]                          # [W, h, m0]
+    nb = jnp.where((top_p >= 0)[:, :, None], nb, -1).reshape(w, -1)
+    nd = metric.gathered(q, points[jnp.clip(nb, 0)])
+    nd = jnp.where(nb >= 0, nd, jnp.inf)
+    cp = jnp.concatenate([cand_p, nb], axis=1)
+    cd = jnp.concatenate([cand_d, nd], axis=1)
+    # dedup: pid-sort puts duplicates adjacent (equal pids carry equal
+    # exact distances, so which copy survives is immaterial)
+    cp, cd = jax.lax.sort((cp, cd), dimension=1, num_keys=1)
+    dup = jnp.concatenate(
+        [jnp.zeros((w, 1), bool),
+         (cp[:, 1:] == cp[:, :-1]) & (cp[:, 1:] >= 0)], axis=1)
+    cd = jnp.where(dup, jnp.inf, cd)
+    cp = jnp.where(dup, -1, cp)
+    cd, cp = jax.lax.sort((cd, cp), dimension=1, num_keys=2)
+    return cd[:, :efc], cp[:, :efc]
+
+
 def wave_step_core(adj, adjd, wave_pids, points, stacked, offsets, n_upper,
                    zero_links, codes=None, scales=None, norms=None, *,
                    metric_name, efc: int, m: int, m0: int,
                    heuristic, rev_chunk: int, pend_cap: int,
                    max_iter_factor: int, expand: int = 1,
                    rev_rounds: int = 4, search_mode: str = "beam",
-                   pd_dtype: str = "bfloat16",
+                   pd_dtype: str = "bfloat16", hop_repair: int = 0,
                    debug_iters: bool = False):
     """Insert one wave of points: search, select, commit edges.
 
@@ -234,7 +274,60 @@ def wave_step_core(adj, adjd, wave_pids, points, stacked, offsets, n_upper,
         q = q.astype(jnp.float32)
 
     search_iters = jnp.int32(0)
-    if search_mode == "scan_fused":
+    if search_mode == "scan_fused" and _use_pack(metric_name, q.shape[1]):
+        # --- packed-key int-epilogue Pallas scan over the prefix --------
+        # (ops/scan_kernel.fused_scan_bucket_int_packed: ONE int32 output
+        # at lsub=64 — 1/16 the candidate-array HBM traffic of a
+        # per-point-scale f32 bucket scan at lsub=8; the shared-scale
+        # rank noise and the wider stride groups are both repaired by
+        # the exact rerank below + the hop expansion that follows)
+        from .scan_kernel import (PACK_INELIGIBLE, PACK_THRESH,
+                                  fused_scan_bucket_int_packed)
+
+        filled = wave_pids[0]  # builders put the lowest pid in lane 0
+        lsub, cbk = _FUSED_PACK_LSUB, _FUSED_PACK_CB
+        ct = cbk // lsub
+        sg = scales                                       # shared scale
+        qs = jnp.maximum(jnp.max(jnp.abs(q)), 1e-30) / 127.0
+        qc = jnp.clip(jnp.round(q / qs), -127, 127).astype(jnp.int8)
+        denom = 2.0 * qs * sg
+        wclamp = (1 << 29) // lsub - 1
+        wgt = jnp.where(jnp.isfinite(norms),
+                        jnp.clip(jnp.round(norms / denom), 0, wclamp),
+                        0).astype(jnp.int32)
+        col = jax.lax.broadcasted_iota(jnp.int32, norms.shape, 1)
+        w2 = wgt * lsub + (col % cbk) // ct
+        w2 = jnp.where((col < filled) & jnp.isfinite(norms), w2,
+                       PACK_INELIGIBLE)
+        qb = max(32, min(256, w))      # int8 sublane minimum is 32
+        qpad = (-w) % qb
+        if qpad:
+            qc = jnp.concatenate(
+                [qc, jnp.broadcast_to(qc[:1], (qpad, qc.shape[1]))])
+        od = fused_scan_bucket_int_packed(
+            qc, w2, codes, lsub=lsub, qb=qb, cb=cbk,
+            interpret=jax.default_backend() == "cpu")[:w]
+        k_sel = min(efc, od.shape[1])
+        # f32 keys are for SELECTION only (rounding above 2^24 could
+        # corrupt the packed slab bits) — exact int keys re-gathered by
+        # position before decoding ids
+        _, nidx = jax.lax.approx_min_k(od.astype(jnp.float32), k_sel,
+                                       recall_target=0.999)
+        keys = jnp.take_along_axis(od, nidx, axis=1)
+        blk = nidx // ct
+        lane = nidx % ct
+        cand_p = blk * cbk + (keys & (lsub - 1)) * ct + lane
+        cand_p = jnp.where(keys < PACK_THRESH, cand_p, -1)
+        if k_sel < efc:
+            cand_p = jnp.pad(cand_p, ((0, 0), (0, efc - k_sel)),
+                             constant_values=-1)
+        # exact rerank (selection runs on true distances, like the
+        # reference's Search results)
+        cand_d = metric.gathered(q, points[jnp.clip(cand_p, 0)])
+        cand_d = jnp.where(cand_p >= 0, cand_d, jnp.inf)
+        cand_d, cand_p = jax.lax.sort((cand_d, cand_p), dimension=1,
+                                      num_keys=2)
+    elif search_mode == "scan_fused":
         # --- Pallas fused bucket scan over the inserted prefix ----------
         from ..models.scan import _quantize_queries
         from .scan_kernel import fused_scan_bucket
@@ -266,8 +359,8 @@ def wave_step_core(adj, adjd, wave_pids, points, stacked, offsets, n_upper,
         k_sel = min(efc, od.shape[1])
         # candidate quality feeds graph quality: merge at a much tighter
         # recall target than serving (which has the rerank safety net) —
-        # the r2 build's 0.99 here plus lsub=32 stride collisions cost
-        # ~1.2 pts of exact-graph recall (VERDICT.md round 2, item 1)
+        # the r2 build's 0.99 here cost exact-graph recall (VERDICT r2
+        # item 1); stride-group losses are repaired by _hop_repair
         md, nidx = jax.lax.approx_min_k(od, k_sel, recall_target=0.999)
         cand_p = jnp.take_along_axis(oi, nidx, axis=1)
         cand_p = jnp.where(jnp.isfinite(md), cand_p, -1)
@@ -324,6 +417,11 @@ def wave_step_core(adj, adjd, wave_pids, points, stacked, offsets, n_upper,
             cand_d, cand_p, search_iters = res
         else:
             cand_d, cand_p = res
+
+    # --- hop expansion: collision repair + bridge-candidate diversity ---
+    if search_mode.startswith("scan") and hop_repair > 0:
+        cand_d, cand_p = _hop_repair(q, cand_d, cand_p, adj, points,
+                                     metric, hop_repair)
 
     # --- intra-wave visibility ------------------------------------------
     # Sequential insertion lets point j find points i < j of the same
@@ -499,7 +597,7 @@ _wave_step = functools.partial(
     jax.jit,
     static_argnames=("metric_name", "efc", "m", "m0", "heuristic",
                      "rev_chunk", "pend_cap", "max_iter_factor", "expand",
-                     "rev_rounds", "search_mode", "pd_dtype",
+                     "rev_rounds", "search_mode", "pd_dtype", "hop_repair",
                      "debug_iters"),
     donate_argnames=("adj", "adjd"))(wave_step_core)
 
@@ -529,14 +627,29 @@ def _resolve_search_mode(cfg, metric_name) -> str:
     return mode
 
 
-_FUSED_CB = 4096   # fused construction scan: point block
-#: Stride-group width of the fused construction scan.  A true candidate
-#: is lost when a nearer point shares its group: expected losses among
-#: the top-efc are ~efc^2*lsub/(2*prefix).  Serving uses lsub=32 (the
-#: rerank repairs it); construction uses 8 — at the hybrid switchover
-#: prefix (131072) that is ~0.3 of efc=100 candidates, falling as the
-#: prefix grows.  cb/lsub must stay a 128-lane multiple: 4096/8 = 512.
-_FUSED_LSUB = 8
+_FUSED_CB = 4096   # fused construction scan (f32 variant): point block
+#: Stride-group width of the f32 fused construction scan.  A true
+#: candidate is lost when a nearer point shares its group: expected
+#: losses among the top-efc are ~efc^2*lsub/(2*prefix) — ~1.2 of 100 at
+#: the hybrid switchover prefix (131072), falling as the prefix grows,
+#: and the one-hop candidate expansion (``_hop_repair``) recovers them.
+#: cb/lsub must stay a 128-lane multiple: 4096/32 = 128.
+_FUSED_LSUB = 32
+#: Packed-key int-epilogue construction scan (L2 metrics, D*lsub <=
+#: 16384): one int32 output at lsub=64 — 1/16 the candidate-array HBM
+#: traffic of the r2 lsub=8 configuration at equal-or-better quality
+#: (shared-scale rank noise and group collisions are both repaired by
+#: the exact rerank + hop expansion).  cb/lsub = 8192/64 = 128 lanes.
+_FUSED_PACK_CB = 8192
+_FUSED_PACK_LSUB = 64
+
+
+def _use_pack(metric_name, d: int) -> bool:
+    """Whether the fused construction scan runs the packed-key int
+    kernel (L2-only rank trick; packed keys need D*lsub <= 16384)."""
+    return (isinstance(metric_name, str)
+            and metric_name in ("sqeuclidean", "euclidean")
+            and d * _FUSED_PACK_LSUB <= 16384)
 #: Waves whose inserted prefix is below this use the exact streamed scan
 #: (see Config.construct_exact_prefix).
 _SCAN_EXACT_PREFIX = 1 << 17
@@ -564,6 +677,20 @@ def _quantize_for_scan(points, fused: bool = False,
     norms = jnp.sum(deq * deq, axis=1)
     if not fused:
         return codes, scales, norms
+    if _use_pack(metric_name, points.shape[1]):
+        # shared-scale operands for the packed-key int kernel: ONE
+        # global point scale (mirrors ScanIndex._fused_int_arrays)
+        pts = jnp.asarray(points, jnp.float32)
+        sg = jnp.maximum(jnp.max(jnp.abs(pts)), 1e-30) / 127.0
+        codes_g = jnp.clip(jnp.round(pts / sg), -127,
+                           127).astype(jnp.int8)
+        deq_g = codes_g.astype(jnp.float32) * sg
+        norms_g = jnp.sum(deq_g * deq_g, axis=1)
+        npad = (-pts.shape[0]) % _FUSED_PACK_CB
+        codes_t = jnp.pad(codes_g, ((0, npad), (0, 0))).T
+        norms_r = jnp.pad(norms_g, (0, npad),
+                          constant_values=np.inf)[None, :]
+        return codes_t, sg, norms_r
     n = codes.shape[0]
     npad = (-n) % _FUSED_CB
     codes_t = jnp.pad(codes, ((0, npad), (0, 0))).T
@@ -583,6 +710,10 @@ def _quantize_for_scan(points, fused: bool = False,
 def _exact_prefix_of(cfg) -> int:
     v = getattr(cfg, "construct_exact_prefix", None)
     return _SCAN_EXACT_PREFIX if v is None else int(v)
+
+
+def _hop_of(cfg) -> int:
+    return int(getattr(cfg, "construct_hop_repair", 8))
 
 
 def _scan_operands(dev_points, search_mode: str, metric_name,
@@ -753,7 +884,8 @@ def extend_graph(points, zero, layers, new_points, config: Config,
             max_iter_factor=cfg.max_iter_factor,
             expand=getattr(cfg, "construct_expand", 1),
             search_mode=mode_w,
-            pd_dtype=getattr(cfg, "select_pd_dtype", "bfloat16"))
+            pd_dtype=getattr(cfg, "select_pd_dtype", "bfloat16"),
+            hop_repair=_hop_of(cfg))
         drops = drops + dd
         done += w
         if progress is not None:
@@ -849,12 +981,12 @@ def build_graph(points, config: Config, progress=None,
     # The key excludes the seed: an entropy-seeded build (seed=None)
     # adopts the checkpoint's stored seed on resume, while an explicit
     # seed must match or the checkpoint is ignored.
-    ckpt_key = f"v4:{n}:{pts.shape[1]}:{cfg.ef_construction}:" \
+    ckpt_key = f"v5:{n}:{pts.shape[1]}:{cfg.ef_construction}:" \
                f"{m}:{cfg.ml}:{heur}:{cfg.wave_size}:{pend_cap}:" \
                f"{rev_rounds}:{cfg.max_iter_factor}:" \
                f"{getattr(cfg, 'construct_expand', 1)}:{search_mode}:" \
                f"{getattr(cfg, 'select_pd_dtype', 'bfloat16')}:" \
-               f"{exact_prefix}"
+               f"{exact_prefix}:{_hop_of(cfg)}"
     seed = cfg.seed
     ckpt_state = None
     if checkpoint is not None:
@@ -959,7 +1091,8 @@ def build_graph(points, config: Config, progress=None,
                 max_iter_factor=cfg.max_iter_factor,
                 expand=getattr(cfg, "construct_expand", 1),
                 search_mode=mode_w,
-                pd_dtype=getattr(cfg, "select_pd_dtype", "bfloat16"))
+                pd_dtype=getattr(cfg, "select_pd_dtype", "bfloat16"),
+                hop_repair=_hop_of(cfg))
             drops = drops + dd
             done += w
             waves_done += 1
