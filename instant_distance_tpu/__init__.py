@@ -23,6 +23,7 @@ __all__ = [
     "BruteForce",
     "ScanIndex",
     "PackedHnsw",
+    "HybridIndex",
     "StreamingHnsw",
     "ShardedHnsw",
     "ShardedScanIndex",
@@ -53,6 +54,10 @@ def __getattr__(name):
         from .models.packed import PackedHnsw
 
         return PackedHnsw
+    if name == "HybridIndex":
+        from .models.hybrid import HybridIndex
+
+        return HybridIndex
     if name == "StreamingHnsw":
         from .models.streaming import StreamingHnsw
 

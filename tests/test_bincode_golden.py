@@ -112,3 +112,203 @@ def test_reader_parses_hand_derived_bytes(tmp_path):
     assert len(idx.layers) == 1
     np.testing.assert_array_equal(np.asarray(idx.layers[0]), [[1, -1]])
     assert idx.values == ["ab", "c"]
+
+
+# ---------------------------------------------------------------------------
+# fixture 2: plain Hnsw (no values), TWO upper layers, EMPTY rows.
+# Exercises: the value-less py Hnsw dump (py src/lib.rs:121-137), the
+# Vec<Vec<UpperNode>> nesting with >1 level, and all-INVALID rows (a
+# fresh node before any reverse edge lands, types.rs:87-91 Default).
+# ---------------------------------------------------------------------------
+
+def _hand_derived_bytes_plain_multilayer() -> bytes:
+    out = io.BytesIO()
+    w = out.write
+    # Hnsw.ef_search: usize -> u64 LE                      = 100
+    w(bytes([100, 0, 0, 0, 0, 0, 0, 0]))
+    # Hnsw.points: Vec<FloatArray> -> u64 len              = 3; D = 1
+    w(bytes([3, 0, 0, 0, 0, 0, 0, 0]))
+    w(bytes.fromhex("00000000"))   # 0.0
+    w(bytes.fromhex("0000c03f"))   # 1.5  = 3fc00000 LE
+    w(bytes.fromhex("000000c0"))   # -2.0 = c0000000 LE
+    # Hnsw.zero: Vec<ZeroNode> len = 3; M = 2 -> 4 ids/row
+    w(bytes([3, 0, 0, 0, 0, 0, 0, 0]))
+    w(bytes([1, 0, 0, 0]) + bytes([2, 0, 0, 0]) + b"\xff" * 8)  # [1,2,-,-]
+    w(bytes([0, 0, 0, 0]) + bytes([2, 0, 0, 0]) + b"\xff" * 8)  # [0,2,-,-]
+    w(b"\xff" * 16)                                       # EMPTY row
+    # Hnsw.layers: Vec<Vec<UpperNode>> len                 = 2
+    w(bytes([2, 0, 0, 0, 0, 0, 0, 0]))
+    #   level 1: 2 rows of [PointId; M=2]
+    w(bytes([2, 0, 0, 0, 0, 0, 0, 0]))
+    w(bytes([1, 0, 0, 0]) + b"\xff" * 4)                  # [1, -]
+    w(bytes([0, 0, 0, 0]) + b"\xff" * 4)                  # [0, -]
+    #   level 2: 1 row, EMPTY
+    w(bytes([1, 0, 0, 0, 0, 0, 0, 0]))
+    w(b"\xff" * 8)
+    # no values: the stream ends here (plain Hnsw has no values field)
+    return out.getvalue()
+
+
+def _plain_multilayer_index():
+    from instant_distance_tpu.models.hnsw import Hnsw
+
+    cfg = Config(m=2, ef_search=100)
+    points = np.array([[0.0], [1.5], [-2.0]], np.float32)
+    zero = np.array([[1, 2, -1, -1], [0, 2, -1, -1], [-1, -1, -1, -1]],
+                    np.int32)
+    layers = [np.array([[1, -1], [0, -1]], np.int32),
+              np.array([[-1, -1]], np.int32)]
+    return Hnsw(points, zero, layers, cfg)
+
+
+def test_plain_multilayer_writer_matches_bytes(tmp_path):
+    import warnings
+
+    path = str(tmp_path / "plain.bin")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        dump_bincode(_plain_multilayer_index(), path)
+    with open(path, "rb") as f:
+        got = f.read()
+    assert got == _hand_derived_bytes_plain_multilayer()
+
+
+def test_plain_multilayer_reader_parses_bytes(tmp_path):
+    path = str(tmp_path / "plain.bin")
+    with open(path, "wb") as f:
+        f.write(_hand_derived_bytes_plain_multilayer())
+    idx = load_bincode(path, dims=1, m=2)
+    assert not hasattr(idx, "values")
+    assert idx.config.ef_search == 100
+    np.testing.assert_array_equal(
+        np.asarray(idx.zero),
+        [[1, 2, -1, -1], [0, 2, -1, -1], [-1, -1, -1, -1]])
+    assert len(idx.layers) == 2
+    np.testing.assert_array_equal(np.asarray(idx.layers[0]),
+                                  [[1, -1], [0, -1]])
+    np.testing.assert_array_equal(np.asarray(idx.layers[1]), [[-1, -1]])
+
+
+# ---------------------------------------------------------------------------
+# fixture 3: unicode values + ZERO upper layers.
+# Exercises: String length = BYTE length of the UTF-8 encoding (bincode
+# serializes str as u64 byte-len + bytes, NOT chars), and the empty
+# layers Vec a 2-point reference build produces.
+# ---------------------------------------------------------------------------
+
+def _hand_derived_bytes_unicode() -> bytes:
+    out = io.BytesIO()
+    w = out.write
+    w(bytes([10, 0, 0, 0, 0, 0, 0, 0]))      # ef_search = 10
+    w(bytes([2, 0, 0, 0, 0, 0, 0, 0]))       # 2 points, D = 2
+    w(bytes.fromhex("0000803f") * 2)          # [1.0, 1.0]
+    w(bytes.fromhex("00000040") * 2)          # [2.0, 2.0]
+    w(bytes([2, 0, 0, 0, 0, 0, 0, 0]))       # 2 zero rows, M = 1 -> 2 ids
+    w(bytes([1, 0, 0, 0]) + b"\xff" * 4)
+    w(bytes([0, 0, 0, 0]) + b"\xff" * 4)
+    w(bytes([0, 0, 0, 0, 0, 0, 0, 0]))       # layers: EMPTY Vec
+    w(bytes([2, 0, 0, 0, 0, 0, 0, 0]))       # 2 values
+    w(bytes([0, 0, 0, 0]))                    # tag String
+    w(bytes([2, 0, 0, 0, 0, 0, 0, 0]))       # "é" = 2 BYTES utf-8
+    w(bytes.fromhex("c3a9"))
+    w(bytes([0, 0, 0, 0]))
+    w(bytes([6, 0, 0, 0, 0, 0, 0, 0]))       # "日本" = 6 BYTES utf-8
+    w(bytes.fromhex("e697a5e69cac"))
+    return out.getvalue()
+
+
+def _unicode_index() -> HnswMap:
+    cfg = Config(m=1, ef_search=10)
+    points = np.array([[1.0, 1.0], [2.0, 2.0]], np.float32)
+    zero = np.array([[1, -1], [0, -1]], np.int32)
+    return HnswMap(points, zero, [], cfg, ["é", "日本"])
+
+
+def test_unicode_writer_matches_bytes(tmp_path):
+    import warnings
+
+    path = str(tmp_path / "uni.bin")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        dump_bincode(_unicode_index(), path)
+    with open(path, "rb") as f:
+        got = f.read()
+    assert got == _hand_derived_bytes_unicode()
+
+
+def test_unicode_reader_parses_bytes(tmp_path):
+    path = str(tmp_path / "uni.bin")
+    with open(path, "wb") as f:
+        f.write(_hand_derived_bytes_unicode())
+    idx = load_bincode(path, dims=2, m=1)
+    assert idx.values == ["é", "日本"]
+    assert idx.layers == []
+
+
+# ---------------------------------------------------------------------------
+# fixture 4: FULL-WIDTH reference shape — D=300 FloatArray, M=32 rows —
+# the exact byte geometry the Rust binding reads (instant-distance-py/
+# src/lib.rs:448 DIMENSIONS=300; types.rs:63,83 [PointId;32]/[PointId;64]).
+# 300 floats per point cannot be written out literally; the expectation
+# is derived from the SPEC field-by-field with struct.pack (an
+# independent second implementation, not dump_bincode).
+# ---------------------------------------------------------------------------
+
+def _spec_pack_full_width(points, zero, layers, values, ef) -> bytes:
+    out = io.BytesIO()
+    out.write(struct.pack("<Q", ef))
+    out.write(struct.pack("<Q", len(points)))
+    for row in points:                       # [f32; 300] tuple, no len
+        out.write(struct.pack(f"<{len(row)}f", *row))
+    out.write(struct.pack("<Q", len(zero)))
+    for row in zero:                         # [u32; 64] via BigArray
+        out.write(struct.pack(f"<{len(row)}I",
+                              *[x & 0xFFFFFFFF for x in row]))
+    out.write(struct.pack("<Q", len(layers)))
+    for layer in layers:
+        out.write(struct.pack("<Q", len(layer)))
+        for row in layer:                    # [u32; 32]
+            out.write(struct.pack(f"<{len(row)}I",
+                                  *[x & 0xFFFFFFFF for x in row]))
+    out.write(struct.pack("<Q", len(values)))
+    for v in values:
+        out.write(struct.pack("<I", 0))
+        data = v.encode("utf-8")
+        out.write(struct.pack("<Q", len(data)))
+        out.write(data)
+    return out.getvalue()
+
+
+def test_full_width_d300_m32_roundtrip(tmp_path):
+    rng = np.random.default_rng(300)
+    n, d, m = 5, 300, 32
+    points = rng.standard_normal((n, d)).astype(np.float32)
+    zero = np.full((n, 2 * m), -1, np.int32)
+    zero[:, 0] = (np.arange(n) + 1) % n
+    zero[2, :5] = [0, 1, 3, 4, -1]
+    layers = [np.full((2, m), -1, np.int32)]
+    layers[0][0, 0] = 1
+    values = [f"word{i}" for i in range(n)]
+    idx = HnswMap(points, zero, layers, Config(m=m, ef_search=100),
+                  values)
+
+    path = str(tmp_path / "full.bin")
+    dump_bincode(idx, path)  # D=300, M=32: no warning expected
+    with open(path, "rb") as f:
+        got = f.read()
+    expect = _spec_pack_full_width(points.tolist(), zero.tolist(),
+                                   [l.tolist() for l in layers],
+                                   values, 100)
+    assert got == expect
+    # total size is fully determined by the spec: 8 + 8 + n*300*4
+    # + 8 + n*64*4 + 8 + (8 + 2*32*4) + 8 + n*(4 + 8 + len(word))
+    assert len(got) == (8 + 8 + n * 300 * 4 + 8 + n * 64 * 4
+                        + 8 + 8 + 2 * 32 * 4
+                        + 8 + sum(4 + 8 + len(v) for v in values))
+
+    back = load_bincode(path)                # reference defaults: 300/32
+    np.testing.assert_allclose(np.asarray(back.points, np.float32),
+                               points)
+    np.testing.assert_array_equal(np.asarray(back.zero), zero)
+    np.testing.assert_array_equal(np.asarray(back.layers[0]), layers[0])
+    assert back.values == values

@@ -10,7 +10,7 @@
 # relative to losing the measurement).
 #
 # Usage: bash tools/run_tpu_queue.sh [stage...]   (default: all)
-#   stages: build packed kernel bench
+#   stages: agree build packed kernel bench
 set -u
 cd "$(dirname "$0")/.."
 
@@ -28,8 +28,12 @@ run() {  # name, timeout, cmd...
     echo "=== $name rc=$? (tail):"; tail -3 "/tmp/q_$name.log"
 }
 
-for stage in "${@:-build packed kernel bench}"; do
+for stage in "${@:-agree build packed kernel bench}"; do
   case "$stage" in
+    # 0. on-hardware fused-kernel vs XLA agreement (VERDICT r2 #5: all
+    #    kernel tests are interpret-mode CPU; this catches Mosaic-only
+    #    miscompiles in ~2 min)
+    agree)  run agree 900 tools/check_kernel_agreement.py ;;
     # 1. optimized scan-mode build, 1M and 2M (roadmap item 1 + the 2M
     #    recall re-check after the approx_recall=0.99 fix, item 4)
     build)  run build 7200 tools/bench_build.py scan 1000000 2000000 ;;

@@ -56,24 +56,45 @@ def main():
     # minutes, so single-shot timings are useless — every config is
     # timed in each round and judged by its per-round RATIO to the XLA
     # baseline measured in the same round.
+    sweep = os.environ.get("TUNE_SWEEP", "pack")
+    if sweep == "bucket":  # round-2 float-epilogue sweep (kept for repro)
+        grid = [("bucket", qb, cb, lsub, inner, ef_)
+                for qb, cb, lsub, inner, ef_ in [
+                    (512, 4096, 32, 1, 16),
+                    (512, 8192, 64, 1, 16),
+                    (256, 8192, 64, 1, 16),
+                    (512, 4096, 32, 2, 16),
+                    (512, 4096, 32, 1, 32),
+                    (512, 8192, 32, 1, 16),
+                    (1024, 2048, 16, 1, 16),
+                ]]
+    else:
+        # Round-3 sweep: int epilogue (1 sub + argmin track) vs packed
+        # keys (2-op key + min-chain, one output).  bucket_pack needs
+        # D*lsub <= 16384 (D=128 -> lsub <= 128) and lsub a power of 2.
+        grid = [(mode, qb, cb, lsub, inner, 16)
+                for mode in ("bucket_int", "bucket_pack")
+                for qb, cb, lsub, inner in [
+                    (512, 4096, 32, 1),    # round-2 best for bucket_int
+                    (512, 4096, 32, 2),
+                    (512, 8192, 64, 1),
+                    (512, 8192, 32, 1),
+                    (1024, 4096, 32, 1),
+                    (512, 16384, 64, 1),
+                    (512, 8192, 64, 2),
+                    (1024, 8192, 64, 1),
+                ]] + [("bucket_pack", 2048, 8192, 64, 1, 16),
+                      ("bucket_pack", 512, 32768, 128, 1, 16)]
     configs = [("xla", None)] + [
-        (f"bucket qb={qb} cb={cb} ls={lsub} in={inner} ef={ef_}",
-         (qb, cb, lsub, inner, ef_))
-        for qb, cb, lsub, inner, ef_ in [
-            (512, 4096, 32, 1, 16),
-            (512, 8192, 64, 1, 16),
-            (256, 8192, 64, 1, 16),
-            (512, 4096, 32, 2, 16),
-            (512, 4096, 32, 1, 32),
-            (512, 8192, 32, 1, 16),
-            (1024, 2048, 16, 1, 16),
-        ]]
+        (f"{m} qb={qb} cb={cb} ls={lsub} in={inner} ef={ef_}",
+         (m, qb, cb, lsub, inner, ef_)) for m, qb, cb, lsub, inner, ef_
+        in grid]
 
     def run_cfg(cfg, q):
         if cfg is None:
             return idx.search_batch(q, k=k, ef=ef, approx_topk=True)
-        qb, cb, lsub, inner, ef_ = cfg
-        return idx.search_batch(q, k=k, ef=ef_, fused="bucket", qb=qb,
+        mode, qb, cb, lsub, inner, ef_ = cfg
+        return idx.search_batch(q, k=k, ef=ef_, fused=mode, qb=qb,
                                 cb=cb, lsub=lsub, inner=inner)
 
     results = {name: [] for name, _ in configs}
