@@ -441,7 +441,8 @@ def _build_sharded(shard_pts: np.ndarray, config: Config, mesh: Mesh,
             max_iter_factor=cfg.max_iter_factor,
             expand=getattr(cfg, "construct_expand", 1),
             search_mode=mode,
-            pd_dtype=getattr(cfg, 'select_pd_dtype', 'bfloat16'))
+            pd_dtype=getattr(cfg, 'select_pd_dtype', 'bfloat16'),
+            hop_repair=int(getattr(cfg, "construct_hop_repair", 8)))
         vc = jax.vmap(core, in_axes=(0, 0, None, 0, 0, None, None, None,
                                      0, 0, 0))
         return jax.jit(jax.shard_map(
@@ -469,13 +470,14 @@ def _build_sharded(shard_pts: np.ndarray, config: Config, mesh: Mesh,
     drops = 0
 
     # ---- checkpoint/resume ------------------------------------------------
-    ckpt_key = f"sharded-v3:{s}:{n_s}:{dim}:{cfg.seed}:" \
+    ckpt_key = f"sharded-v4:{s}:{n_s}:{dim}:{cfg.seed}:" \
                f"{cfg.ef_construction}:{m}:{cfg.ml}:{heur}:" \
                f"{cfg.wave_size}:{pend_cap}:{rev_rounds}:" \
                f"{cfg.max_iter_factor}:" \
                f"{getattr(cfg, 'construct_expand', 1)}:{search_mode}:" \
                f"{getattr(cfg, 'select_pd_dtype', 'bfloat16')}:" \
-               f"{exact_prefix}"
+               f"{exact_prefix}:" \
+               f"{int(getattr(cfg, 'construct_hop_repair', 8))}"
     resume_li, resume_ws, waves_done = -1, -1, 0
     if checkpoint is not None:
         import os

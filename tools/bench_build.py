@@ -29,16 +29,24 @@ from instant_distance_tpu.utils.datasets import synthetic_clustered
 from instant_distance_tpu.utils.metrics import recall_at_k
 
 D = int(os.environ.get("BENCH_BUILD_D", 128))
+#: bf16 distance cache halves a 10M build's largest side array.
+CACHE_DTYPE = os.environ.get("BENCH_BUILD_CACHE_DTYPE", "float32")
+CKPT = os.environ.get("BENCH_BUILD_CKPT")  # path -> checkpoint/resume
 
 
 def run(n: int, mode: str):
     data = synthetic_clustered(n + 2048, D,
                                n_clusters=max(100, n // 100), seed=3)
     pts, queries = data[:n], data[n:]
-    cfg = Config(seed=3, wave_size=4096, construct_mode=mode)
+    cfg = Config(seed=3, wave_size=4096, construct_mode=mode,
+                 dist_cache_dtype=CACHE_DTYPE)
     print(f"[build] N={n:,} D={D} mode={mode} ...", flush=True)
     t0 = time.time()
-    index, ids = Hnsw.build(pts, cfg)
+    from instant_distance_tpu.utils.metrics import BuildStats
+    index, ids = Hnsw.build(pts, cfg,
+                            progress=BuildStats(log_every=max(100_000,
+                                                              n // 20)),
+                            checkpoint=CKPT, checkpoint_every=256)
     np.asarray(index.zero[n - 1])       # honest barrier: device readback
     dt = time.time() - t0
     print(f"N={n:>9,} mode={mode:5s} build={dt:8.1f}s "

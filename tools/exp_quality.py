@@ -48,6 +48,19 @@ def main():
         ("hybrid+hop8 (new default)", dict()),
         ("hybrid+hop0", dict(construct_hop_repair=0)),
         ("fusedpack-only+hop8", dict(construct_exact_prefix=0)),
+        ("fusedpack-only+hop0", dict(construct_exact_prefix=0,
+                                     construct_hop_repair=0)),
+        # deeper candidate pools: the scan's marginal cost of efc is ~0
+        # (the kernel scans all N either way) — a lever the reference's
+        # beam cannot afford (its search cost scales with efc)
+        ("fusedpack-efc150", dict(construct_exact_prefix=0,
+                                  ef_construction=150)),
+        ("fusedpack-efc200-hop0", dict(construct_exact_prefix=0,
+                                       construct_hop_repair=0,
+                                       ef_construction=200)),
+        # smaller waves approximate sequential insertion order better
+        ("fusedpack-wave2048", dict(construct_exact_prefix=0,
+                                    wave_size=2048)),
         ("scan-exact+hop8", dict(construct_mode="scan")),
         ("scan-exact+hop0", dict(construct_mode="scan",
                                  construct_hop_repair=0)),
@@ -65,7 +78,9 @@ def main():
     gt_orig = np.asarray(BruteForce(pts).search_batch(queries, 10)[1])
 
     for name, kw in variants:
-        cfg = Config(seed=3, wave_size=4096, **kw)
+        base = dict(seed=3, wave_size=4096)
+        base.update(kw)
+        cfg = Config(**base)
         t0 = time.time()
         try:
             index, ids = Hnsw.build(pts, cfg)

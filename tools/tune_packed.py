@@ -73,6 +73,11 @@ def main():
     grid = [
         # (entry_seeds, expand, ef, max_iter_factor)
         (0,     4, 50, 8),    # round-1 baseline operating point
+        # descent-entry recall ladder (VERDICT r2 item 4: the descent
+        # path must reach >= 0.965 at >= 20k qps on its own)
+        (0,     4, 64, 8),
+        (0,     8, 50, 8),
+        (0,     4, 80, 8),
         (8192,  4, 50, 8),
         (8192,  4, 16, 8),
         (8192,  2, 16, 8),
