@@ -130,11 +130,25 @@ class Config:
     #: Scan-mode candidate hop expansion: the graph neighbors of each
     #: wave point's top-H candidates are merged (exact distances,
     #: deduped) into its candidate list before selection.  Repairs the
-    #: fused kernel's stride-group collision losses AND injects the
-    #: graph-local "bridge" candidates that Alg. 4's pruning rule needs
-    #: — exact nearest-only pools build measurably worse graphs than the
-    #: reference's beam pools (see ops/construct._hop_repair).  0 = off.
-    construct_hop_repair: int = 8
+    #: fused kernel's stride-group collision losses and injects
+    #: graph-local "bridge" candidates (see ops/construct._hop_repair).
+    #: Default 0: measured on 1M clustered 128-d (tools/exp_quality.py,
+    #: 2026-08-19), hop=8 changed exact-graph recall@10 by <=0.0005 in
+    #: either direction while costing ~25% build time — the deep
+    #: default candidate pool (``construct_pool``) subsumes it.  Keep
+    #: as a knob for extremely clustered data at shallow pools.
+    construct_hop_repair: int = 0
+    #: Scan-mode candidate-pool size (the "efc" the wave search returns
+    #: and Alg. 4 selects from).  None -> 2 * ef_construction.  Pool
+    #: depth is nearly free for the scan — the kernel scores every
+    #: inserted point regardless — so scan-mode builds default to a
+    #: deeper pool than the reference's beam can afford (its search
+    #: cost scales with efc, lib.rs:447-463).  Measured on 1M clustered
+    #: 128-d: pool 200 lifts exact-graph recall@10(ef=50) 0.973 ->
+    #: 0.995 at +35% build time vs pool 100 (tools/exp_quality.py).
+    #: Beam-mode builds ignore this and use ef_construction verbatim
+    #: (reference parity).
+    construct_pool: Optional[int] = None
 
     def __post_init__(self) -> None:
         if self.ef_construction < 1 or self.ef_search < 1:

@@ -713,7 +713,27 @@ def _exact_prefix_of(cfg) -> int:
 
 
 def _hop_of(cfg) -> int:
-    return int(getattr(cfg, "construct_hop_repair", 8))
+    return int(getattr(cfg, "construct_hop_repair", 0))
+
+
+def _pool_of(cfg, search_mode: str) -> int:
+    """Effective candidate-pool size for wave searches.
+
+    Beam mode uses ``ef_construction`` verbatim (reference parity,
+    lib.rs:458-461).  Scan modes default to ``2 * ef_construction``:
+    pool depth is nearly free for the scan (the kernel scores every
+    inserted point regardless of efc) and Algorithm 4 selects
+    measurably better edges from a deeper pool — on 1M clustered 128-d
+    points, pool 200 lifted exact-graph recall@10(ef=50) from 0.973 to
+    0.995 at +35% build time (tools/exp_quality.py, 2026-08-19).  This
+    is a lever the reference's beam construction cannot afford: its
+    wave-search cost scales with efc (lib.rs:447-463), the scan's does
+    not.
+    """
+    if not search_mode.startswith("scan"):
+        return cfg.ef_construction
+    pool = getattr(cfg, "construct_pool", None)
+    return int(pool) if pool else 2 * cfg.ef_construction
 
 
 def _scan_operands(dev_points, search_mode: str, metric_name,
@@ -878,7 +898,7 @@ def extend_graph(points, zero, layers, new_points, config: Config,
             adj, adjd, jnp.asarray(wave), all_pts, stacked,
             jnp.asarray(offsets), n_upper, jnp.int32(m0),
             wcodes, wscales, wnorms,
-            metric_name=metric_name, efc=cfg.ef_construction,
+            metric_name=metric_name, efc=_pool_of(cfg, mode_w),
             m=m, m0=m0, heuristic=heur,
             rev_chunk=8192, pend_cap=pend_cap, rev_rounds=rev_rounds,
             max_iter_factor=cfg.max_iter_factor,
@@ -981,12 +1001,13 @@ def build_graph(points, config: Config, progress=None,
     # The key excludes the seed: an entropy-seeded build (seed=None)
     # adopts the checkpoint's stored seed on resume, while an explicit
     # seed must match or the checkpoint is ignored.
-    ckpt_key = f"v5:{n}:{pts.shape[1]}:{cfg.ef_construction}:" \
+    ckpt_key = f"v6:{n}:{pts.shape[1]}:{cfg.ef_construction}:" \
                f"{m}:{cfg.ml}:{heur}:{cfg.wave_size}:{pend_cap}:" \
                f"{rev_rounds}:{cfg.max_iter_factor}:" \
                f"{getattr(cfg, 'construct_expand', 1)}:{search_mode}:" \
                f"{getattr(cfg, 'select_pd_dtype', 'bfloat16')}:" \
-               f"{exact_prefix}:{_hop_of(cfg)}"
+               f"{exact_prefix}:{_hop_of(cfg)}:" \
+               f"{_pool_of(cfg, search_mode)}"
     seed = cfg.seed
     ckpt_state = None
     if checkpoint is not None:
@@ -1085,7 +1106,7 @@ def build_graph(points, config: Config, progress=None,
                 adj, adjd, jnp.asarray(wave), dev_points, stacked,
                 jnp.asarray(offsets), n_upper, jnp.int32(zero_links),
                 wcodes, wscales, wnorms,
-                metric_name=metric_name, efc=cfg.ef_construction,
+                metric_name=metric_name, efc=_pool_of(cfg, mode_w),
                 m=m, m0=m0, heuristic=heur,
                 rev_chunk=8192, pend_cap=pend_cap, rev_rounds=rev_rounds,
                 max_iter_factor=cfg.max_iter_factor,

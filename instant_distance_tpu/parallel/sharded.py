@@ -408,8 +408,9 @@ def _build_sharded(shard_pts: np.ndarray, config: Config, mesh: Mesh,
     heur = (None if cfg.heuristic is None else
             (cfg.heuristic.extend_candidates, cfg.heuristic.keep_pruned))
 
-    from ..ops.construct import (_exact_prefix_of, _quantize_for_scan,
-                                 _resolve_search_mode, _rev_params)
+    from ..ops.construct import (_exact_prefix_of, _hop_of, _pool_of,
+                                 _quantize_for_scan, _resolve_search_mode,
+                                 _rev_params)
 
     pend_cap, rev_rounds = _rev_params(cfg, m0)
     search_mode = _resolve_search_mode(cfg, cfg.metric)
@@ -435,14 +436,14 @@ def _build_sharded(shard_pts: np.ndarray, config: Config, mesh: Mesh,
     def _make_step(mode: str):
         core = functools.partial(
             wave_step_core, metric_name=cfg.metric,
-            efc=cfg.ef_construction, m=m, m0=m0,
+            efc=_pool_of(cfg, mode), m=m, m0=m0,
             heuristic=heur, rev_chunk=8192, pend_cap=pend_cap,
             rev_rounds=rev_rounds,
             max_iter_factor=cfg.max_iter_factor,
             expand=getattr(cfg, "construct_expand", 1),
             search_mode=mode,
             pd_dtype=getattr(cfg, 'select_pd_dtype', 'bfloat16'),
-            hop_repair=int(getattr(cfg, "construct_hop_repair", 8)))
+            hop_repair=_hop_of(cfg))
         vc = jax.vmap(core, in_axes=(0, 0, None, 0, 0, None, None, None,
                                      0, 0, 0))
         return jax.jit(jax.shard_map(
@@ -470,14 +471,14 @@ def _build_sharded(shard_pts: np.ndarray, config: Config, mesh: Mesh,
     drops = 0
 
     # ---- checkpoint/resume ------------------------------------------------
-    ckpt_key = f"sharded-v4:{s}:{n_s}:{dim}:{cfg.seed}:" \
+    ckpt_key = f"sharded-v5:{s}:{n_s}:{dim}:{cfg.seed}:" \
                f"{cfg.ef_construction}:{m}:{cfg.ml}:{heur}:" \
                f"{cfg.wave_size}:{pend_cap}:{rev_rounds}:" \
                f"{cfg.max_iter_factor}:" \
                f"{getattr(cfg, 'construct_expand', 1)}:{search_mode}:" \
                f"{getattr(cfg, 'select_pd_dtype', 'bfloat16')}:" \
-               f"{exact_prefix}:" \
-               f"{int(getattr(cfg, 'construct_hop_repair', 8))}"
+               f"{exact_prefix}:{_hop_of(cfg)}:" \
+               f"{_pool_of(cfg, search_mode)}"
     resume_li, resume_ws, waves_done = -1, -1, 0
     if checkpoint is not None:
         import os

@@ -45,26 +45,42 @@ def main():
 
     variants = [
         # (name, config kwargs)
-        ("hybrid+hop8 (new default)", dict()),
-        ("hybrid+hop0", dict(construct_hop_repair=0)),
-        ("fusedpack-only+hop8", dict(construct_exact_prefix=0)),
+        # round-3 default: pool=2*efc=200, hop=0, hybrid exact prefix
+        ("newdefault-pool200-hybrid", dict()),
+        # the measured round-3 winner (0.9946 @ 299s on 1M, seed 3)
+        ("fusedpack-pool200", dict(construct_exact_prefix=0)),
+        # pool-depth curve probe
+        ("fusedpack-pool300", dict(construct_exact_prefix=0,
+                                   construct_pool=300)),
+        # ---- round-2 matrix (pool pinned to 100 = old default, for
+        # ---- reproducibility now that the default pool is 2*efc) ----
+        ("hybrid+hop8", dict(construct_hop_repair=8,
+                             construct_pool=100)),
+        ("hybrid+hop0", dict(construct_pool=100)),
+        ("fusedpack-only+hop8", dict(construct_exact_prefix=0,
+                                     construct_hop_repair=8,
+                                     construct_pool=100)),
         ("fusedpack-only+hop0", dict(construct_exact_prefix=0,
-                                     construct_hop_repair=0)),
+                                     construct_pool=100)),
         # deeper candidate pools: the scan's marginal cost of efc is ~0
         # (the kernel scans all N either way) — a lever the reference's
         # beam cannot afford (its search cost scales with efc)
         ("fusedpack-efc150", dict(construct_exact_prefix=0,
-                                  ef_construction=150)),
+                                  construct_hop_repair=8,
+                                  construct_pool=150)),
         ("fusedpack-efc200-hop0", dict(construct_exact_prefix=0,
-                                       construct_hop_repair=0,
-                                       ef_construction=200)),
+                                       construct_pool=200)),
         # smaller waves approximate sequential insertion order better
         ("fusedpack-wave2048", dict(construct_exact_prefix=0,
+                                    construct_pool=100,
                                     wave_size=2048)),
-        ("scan-exact+hop8", dict(construct_mode="scan")),
+        ("scan-exact+hop8", dict(construct_mode="scan",
+                                 construct_hop_repair=8,
+                                 construct_pool=100)),
         ("scan-exact+hop0", dict(construct_mode="scan",
-                                 construct_hop_repair=0)),
-        ("hybrid+hop16", dict(construct_hop_repair=16)),
+                                 construct_pool=100)),
+        ("hybrid+hop16", dict(construct_hop_repair=16,
+                              construct_pool=100)),
         ("beam (reference bar)", dict(construct_mode="beam")),
     ]
     sel = os.environ.get("EXPQ_ONLY")
