@@ -138,3 +138,23 @@ def test_scan_fused_dot_cosine_build(pts, metric):
         len(set(got[i].tolist()) & set(ids[gt[i]].tolist())) / 10
         for i in range(len(queries))]))
     assert r >= 0.9, f"scan_fused {metric} recall {r}"
+
+
+def test_pool_resolution():
+    """construct_pool: scan modes default to 2*ef_construction (the
+    round-3 measured quality winner: pool 200 lifted 1M exact-graph
+    recall@10(ef=50) 0.973 -> 0.995, tools/exp_quality.py); beam mode
+    keeps ef_construction verbatim (reference parity, lib.rs:458-461);
+    an explicit pool wins everywhere it applies."""
+    from instant_distance_tpu.ops.construct import _hop_of, _pool_of
+
+    cfg = Config()
+    assert _pool_of(cfg, "scan") == 200
+    assert _pool_of(cfg, "scan_fused") == 200
+    assert _pool_of(cfg, "beam") == 100
+    assert _hop_of(cfg) == 0  # deep pools subsume hop repair (measured)
+    cfg2 = Config(ef_construction=64)
+    assert _pool_of(cfg2, "scan") == 128
+    cfg3 = Config(construct_pool=300)
+    assert _pool_of(cfg3, "scan") == 300
+    assert _pool_of(cfg3, "beam") == 100
