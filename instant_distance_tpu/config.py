@@ -122,10 +122,12 @@ class Config:
 
     #: Construction waves whose inserted prefix is smaller than this use
     #: the EXACT streamed scan for their candidate search instead of the
-    #: fused bucket kernel (whose stride-group minima lose
-    #: ~efc^2*lsub/(2*prefix) true candidates — ruinous for the early
-    #: waves that build the graph's backbone, negligible later).
-    #: None = default (131072); 0 = always fused (tests).
+    #: fused bucket kernel.  None = default (0 = always fused): measured
+    #: at 400k and 1M, the fused kernel's stride-group losses cost
+    #: <=0.1 pt of exact-graph recall and the deep default pool absorbs
+    #: them — the exact-prefix hybrid measured 0.9951 vs 0.9946 at pool
+    #: 200 while costing +80% build time (docs/performance.md, round
+    #: 3).  Set a prefix (e.g. 131072) to re-enable the hybrid.
     construct_exact_prefix: Optional[int] = None
     #: Scan-mode candidate hop expansion: the graph neighbors of each
     #: wave point's top-H candidates are merged (exact distances,
@@ -139,15 +141,16 @@ class Config:
     #: as a knob for extremely clustered data at shallow pools.
     construct_hop_repair: int = 0
     #: Scan-mode candidate-pool size (the "efc" the wave search returns
-    #: and Alg. 4 selects from).  None -> 2 * ef_construction.  Pool
+    #: and Alg. 4 selects from).  None -> 3 * ef_construction.  Pool
     #: depth is nearly free for the scan — the kernel scores every
     #: inserted point regardless — so scan-mode builds default to a
     #: deeper pool than the reference's beam can afford (its search
     #: cost scales with efc, lib.rs:447-463).  Measured on 1M clustered
-    #: 128-d: pool 200 lifts exact-graph recall@10(ef=50) 0.973 ->
-    #: 0.995 at +35% build time vs pool 100 (tools/exp_quality.py).
-    #: Beam-mode builds ignore this and use ef_construction verbatim
-    #: (reference parity).
+    #: 128-d (tools/exp_quality.py): pool 100 -> 0.973 exact-graph
+    #: recall@10(ef=50), pool 200 -> 0.9946, pool 300 -> 0.9990
+    #: (1.0000 at ef=100) at 285 s — vs the reference-recipe beam
+    #: build's 0.9773 at 569 s.  Beam-mode builds ignore this and use
+    #: ef_construction verbatim (reference parity).
     construct_pool: Optional[int] = None
 
     def __post_init__(self) -> None:

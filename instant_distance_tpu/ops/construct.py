@@ -708,8 +708,13 @@ def _quantize_for_scan(points, fused: bool = False,
 # ---------------------------------------------------------------------------
 
 def _exact_prefix_of(cfg) -> int:
+    """None -> 0 (always fused): the exact-prefix hybrid measured
+    +0.0005 recall for +80% build time at 1M pool 200, and the deep
+    default pool absorbs the fused kernel's stride-group losses (see
+    Config.construct_exact_prefix).  _SCAN_EXACT_PREFIX is the
+    recommended prefix when a caller re-enables the hybrid."""
     v = getattr(cfg, "construct_exact_prefix", None)
-    return _SCAN_EXACT_PREFIX if v is None else int(v)
+    return 0 if v is None else int(v)
 
 
 def _hop_of(cfg) -> int:
@@ -728,12 +733,14 @@ def _pool_of(cfg, search_mode: str) -> int:
     0.995 at +35% build time (tools/exp_quality.py, 2026-08-19).  This
     is a lever the reference's beam construction cannot afford: its
     wave-search cost scales with efc (lib.rs:447-463), the scan's does
-    not.
+    not.  The default pool of 3*efc=300 measured 0.9990 (1.0000 at
+    ef=100) in 285 s on that workload — vs the beam recipe's 0.9773 at
+    569 s.
     """
     if not search_mode.startswith("scan"):
         return cfg.ef_construction
     pool = getattr(cfg, "construct_pool", None)
-    return int(pool) if pool else 2 * cfg.ef_construction
+    return int(pool) if pool else 3 * cfg.ef_construction
 
 
 def _scan_operands(dev_points, search_mode: str, metric_name,

@@ -141,20 +141,24 @@ def test_scan_fused_dot_cosine_build(pts, metric):
 
 
 def test_pool_resolution():
-    """construct_pool: scan modes default to 2*ef_construction (the
-    round-3 measured quality winner: pool 200 lifted 1M exact-graph
-    recall@10(ef=50) 0.973 -> 0.995, tools/exp_quality.py); beam mode
-    keeps ef_construction verbatim (reference parity, lib.rs:458-461);
-    an explicit pool wins everywhere it applies."""
-    from instant_distance_tpu.ops.construct import _hop_of, _pool_of
+    """construct_pool: scan modes default to 3*ef_construction (the
+    round-3 measured quality winner: 1M exact-graph recall@10(ef=50)
+    0.973 at pool 100 -> 0.9946 at 200 -> 0.9990 at 300,
+    tools/exp_quality.py); beam mode keeps ef_construction verbatim
+    (reference parity, lib.rs:458-461); an explicit pool wins
+    everywhere it applies."""
+    from instant_distance_tpu.ops.construct import (_exact_prefix_of,
+                                                    _hop_of, _pool_of)
 
     cfg = Config()
-    assert _pool_of(cfg, "scan") == 200
-    assert _pool_of(cfg, "scan_fused") == 200
+    assert _pool_of(cfg, "scan") == 300
+    assert _pool_of(cfg, "scan_fused") == 300
     assert _pool_of(cfg, "beam") == 100
     assert _hop_of(cfg) == 0  # deep pools subsume hop repair (measured)
+    assert _exact_prefix_of(cfg) == 0  # always-fused default (measured)
     cfg2 = Config(ef_construction=64)
-    assert _pool_of(cfg2, "scan") == 128
+    assert _pool_of(cfg2, "scan") == 192
     cfg3 = Config(construct_pool=300)
     assert _pool_of(cfg3, "scan") == 300
     assert _pool_of(cfg3, "beam") == 100
+    assert _exact_prefix_of(Config(construct_exact_prefix=4096)) == 4096

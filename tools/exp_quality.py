@@ -45,18 +45,23 @@ def main():
 
     variants = [
         # (name, config kwargs)
-        # round-3 default: pool=2*efc=200, hop=0, hybrid exact prefix
-        ("newdefault-pool200-hybrid", dict()),
-        # the measured round-3 winner (0.9946 @ 299s on 1M, seed 3)
-        ("fusedpack-pool200", dict(construct_exact_prefix=0)),
-        # pool-depth curve probe
-        ("fusedpack-pool300", dict(construct_exact_prefix=0,
-                                   construct_pool=300)),
+        # round-3 FINAL default: pool=3*efc=300, hop=0, always fused
+        # (measured 0.9990 @ ef=50 / 1.0000 @ ef=100, 285 s warm, 1M)
+        ("newdefault", dict()),
+        # the measured pool-depth curve (2026-08-19, 1M seed 3):
+        #   hybrid pool200 400.7s 0.9951 | fused pool200 223.9s 0.9946
+        #   fused pool300 285.4s 0.9990
+        ("newdefault-pool200-hybrid", dict(construct_pool=200,
+                                           construct_exact_prefix=131072)),
+        ("fusedpack-pool200", dict(construct_pool=200)),
+        ("fusedpack-pool300", dict(construct_pool=300)),
         # ---- round-2 matrix (pool pinned to 100 = old default, for
-        # ---- reproducibility now that the default pool is 2*efc) ----
+        # ---- reproducibility now that the default pool is 3*efc) ----
         ("hybrid+hop8", dict(construct_hop_repair=8,
-                             construct_pool=100)),
-        ("hybrid+hop0", dict(construct_pool=100)),
+                             construct_pool=100,
+                             construct_exact_prefix=131072)),
+        ("hybrid+hop0", dict(construct_pool=100,
+                             construct_exact_prefix=131072)),
         ("fusedpack-only+hop8", dict(construct_exact_prefix=0,
                                      construct_hop_repair=8,
                                      construct_pool=100)),
@@ -80,7 +85,8 @@ def main():
         ("scan-exact+hop0", dict(construct_mode="scan",
                                  construct_pool=100)),
         ("hybrid+hop16", dict(construct_hop_repair=16,
-                              construct_pool=100)),
+                              construct_pool=100,
+                              construct_exact_prefix=131072)),
         ("beam (reference bar)", dict(construct_mode="beam")),
     ]
     sel = os.environ.get("EXPQ_ONLY")

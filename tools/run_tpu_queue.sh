@@ -34,9 +34,14 @@ for stage in "${@:-agree build packed kernel bench}"; do
     #    kernel tests are interpret-mode CPU; this catches Mosaic-only
     #    miscompiles in ~2 min)
     agree)  run agree 900 tools/check_kernel_agreement.py ;;
-    # 1. optimized scan-mode build, 1M and 2M (roadmap item 1 + the 2M
-    #    recall re-check after the approx_recall=0.99 fix, item 4)
-    build)  run build 7200 tools/bench_build.py scan 1000000 2000000 ;;
+    # 1. optimized scan-mode build at 2M (the 2M recall re-check,
+    #    roadmap item 4; 1M is covered by tools/exp_quality.py runs)
+    build)  run build 7200 tools/bench_build.py scan 2000000 ;;
+    # 1b. 10M-scale checkpointed graph build on one chip (VERDICT r2
+    #    #9): D=96 so points+codes+adjacency+bf16 cache fit 16 GB HBM
+    build10m) BENCH_BUILD_D=96 BENCH_BUILD_CACHE_DTYPE=bfloat16 \
+              BENCH_BUILD_CKPT=/tmp/build10m.ckpt.npz \
+              run build10m 14400 tools/bench_build.py scan 10000000 ;;
     # 2. seeded-entry packed serving sweep (VERDICT #2: >=34k @ >=0.95)
     packed) run packed 5400 tools/tune_packed.py ;;
     # 3. bucket_int kernel sweep (VERDICT #5: >=600k @ >=0.99)
