@@ -353,6 +353,82 @@ def fused_scan_bucket_int_packed(qc, w2, codes_t, *, lsub: int = 32,
     return od
 
 
+def _probe_kernel(qc_ref, w2_ref, codes_ref, od_ref, *, lsub: int,
+                  cb: int, inner: int, probe: str):
+    """Roofline-attribution probe (timing only, NOT a search kernel).
+
+    Identical structure to ``_bucket_scan_int_packed_kernel`` with the
+    epilogue truncated at three levels, so timing differences attribute
+    cell time to each stage:
+
+      probe="mm":   matmul + output write only (0 VPU ops/element —
+                    the MXU + HBM floor; w2 may be dead-code-eliminated,
+                    which is part of what is being measured)
+      probe="min":  matmul + min-chain over the RAW dot (1 VPU
+                    op/element; result is semantically meaningless)
+      probe="full": the production packed-key epilogue (3 VPU
+                    ops/element: mul + sub + min)
+    """
+    ct = cb // lsub
+    for j in range(inner):
+        sl = slice(j * cb, (j + 1) * cb)
+        dot = jax.lax.dot_general(
+            qc_ref[:], codes_ref[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        if probe == "mm":
+            od_ref[:, j * ct:(j + 1) * ct] = dot[:, :ct]
+            continue
+        key = dot if probe == "min" else w2_ref[:, sl] - dot * lsub
+        m = key[:, :ct]
+        for t in range(1, lsub):
+            m = jnp.minimum(m, key[:, t * ct:(t + 1) * ct])
+        od_ref[:, j * ct:(j + 1) * ct] = m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("lsub", "qb", "cb", "inner", "probe",
+                              "interpret"))
+def fused_scan_probe(qc, w2, codes_t, *, lsub: int = 64, qb: int = 1024,
+                     cb: int = 8192, inner: int = 1, probe: str = "full",
+                     interpret: bool = False):
+    """Timing probe for roofline attribution (see ``_probe_kernel``).
+    Same operands/blocking as :func:`fused_scan_bucket_int_packed`;
+    returns one int32 array whose CONTENT is only meaningful for
+    probe="full"."""
+    b, d = qc.shape
+    n = codes_t.shape[1]
+    cbo = cb * inner
+    ct = cb // lsub
+    assert b % qb == 0 and n % cbo == 0 and cb % lsub == 0
+    nc = n // cbo
+    grid = (nc, b // qb)
+    kernel = functools.partial(_probe_kernel, lsub=lsub, cb=cb,
+                               inner=inner, probe=probe)
+    (od,) = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((qb, d), lambda ic, iq: (iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cbo), lambda ic, iq: (0, ic),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, cbo), lambda ic, iq: (0, ic),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((qb, inner * ct), lambda ic, iq: (iq, ic),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, nc * inner * ct), jnp.int32),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(qc, w2, codes_t)
+    return od
+
+
 def _fused_scan_kernel(qc_ref, qs_ref, codes_ref, sc_ref, no_ref,
                        od_ref, oi_ref, *, lsub: int, topt: int,
                        is_dot: bool):

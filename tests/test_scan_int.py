@@ -134,3 +134,28 @@ def test_bucket_int_norerank_values_in_metric_units(data):
     # squared distance — same units, not an ordering-only surrogate
     rel = np.abs(d[ok, 0] - de[ok, 0]) / np.maximum(de[ok, 0], 1e-6)
     assert np.median(rel) < 0.15
+
+
+def test_probe_full_matches_production_kernel():
+    """The roofline-attribution probe at probe="full" runs the exact
+    production packed-key epilogue; its output must be bit-identical
+    to fused_scan_bucket_int_packed on the same operands (the "mm" and
+    "min" probes are timing-only truncations with meaningless
+    content)."""
+    import jax.numpy as jnp
+
+    from instant_distance_tpu.ops.scan_kernel import (
+        fused_scan_bucket_int_packed, fused_scan_probe)
+
+    rng = np.random.default_rng(5)
+    qc = jnp.asarray(rng.integers(-127, 128, (8, 16), dtype=np.int8))
+    codes_t = jnp.asarray(rng.integers(-127, 128, (16, 64),
+                                       dtype=np.int8))
+    w2 = jnp.asarray(rng.integers(0, 1 << 20, (1, 64), dtype=np.int32))
+    kw = dict(lsub=4, qb=8, cb=32, interpret=True)
+    want = fused_scan_bucket_int_packed(qc, w2, codes_t, **kw)
+    got = fused_scan_probe(qc, w2, codes_t, probe="full", **kw)
+    assert np.array_equal(np.asarray(want), np.asarray(got))
+    for probe in ("mm", "min"):  # truncated probes must at least run
+        out = fused_scan_probe(qc, w2, codes_t, probe=probe, **kw)
+        assert np.asarray(out).shape == np.asarray(want).shape

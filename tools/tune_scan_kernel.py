@@ -57,6 +57,44 @@ def main():
     # timed in each round and judged by its per-round RATIO to the XLA
     # baseline measured in the same round.
     sweep = os.environ.get("TUNE_SWEEP", "pack")
+    if sweep == "breakdown":
+        # Roofline attribution at the tuned config (VERDICT r2 item 2):
+        # time probe kernels that truncate the epilogue at each stage.
+        #   mm   = matmul + output write (MXU/HBM floor)
+        #   min  = + 1-op min-chain
+        #   full = + 2-op key compute (the production epilogue)
+        # (full - min) = key cost, (min - mm) = min-chain cost,
+        # mm vs the analytic MXU time = fixed/HBM overhead.
+        import jax.numpy as jnp2
+        from instant_distance_tpu.ops.scan_kernel import fused_scan_probe
+        qb_, cb_, ls_ = 1024, 8192, 64
+        arrs = idx._fused_int_arrays(cb_)
+        codes_t, norms_r, sg = arrs
+        qs = jnp2.maximum(jnp2.max(jnp2.abs(queries)), 1e-30) / 127.0
+        qc = jnp2.clip(jnp2.round(queries / qs), -127,
+                       127).astype(jnp2.int8)
+        wclamp = (1 << 29) // ls_ - 1
+        denom = 2.0 * qs * sg
+        w = jnp2.where(jnp2.isfinite(norms_r),
+                       jnp2.clip(jnp2.round(norms_r / denom), 0, wclamp),
+                       0).astype(jnp2.int32)
+        ct_ = cb_ // ls_
+        col = jax.lax.broadcasted_iota(jnp2.int32, w.shape, 1)
+        w2 = jnp2.where(jnp2.isfinite(norms_r),
+                        w * ls_ + (col % cb_) // ct_, 1 << 30)
+        force_ready(w2)
+        d_ = qc.shape[1]
+        flops = 2.0 * qc.shape[0] * codes_t.shape[1] * d_
+        for probe in ("mm", "min", "full"):
+            t = time_fn(lambda q, p=probe: fused_scan_probe(
+                            qc, w2, codes_t, lsub=ls_, qb=qb_, cb=cb_,
+                            probe=p), queries, warmup=2, iters=8)
+            mfu = flops / t.per_call_s / 394e12
+            print(f"probe={probe:5s} {t.per_call_s * 1e3:8.2f} ms/batch"
+                  f"  int8-MFU {mfu * 100:5.1f}%"
+                  f"  qps-equiv {qc.shape[0] / t.per_call_s:10,.0f}",
+                  flush=True)
+        return
     if sweep == "bucket":  # round-2 float-epilogue sweep (kept for repro)
         grid = [("bucket", qb, cb, lsub, inner, ef_)
                 for qb, cb, lsub, inner, ef_ in [
