@@ -192,11 +192,20 @@ def main() -> None:
             seeds = int(os.environ.get("INSTANT_TPU_BENCH_SEEDS", 8192))
             descent_ef = int(os.environ.get(
                 "INSTANT_TPU_BENCH_DESCENT_EF", ef))
+            # seeded operating point from the hardware sweep
+            # (tools/tune_packed.py, v5e 1M x 128: ef=16/expand=2 ->
+            # 82.9k QPS @ 0.9950 vs ef=50/expand=4 -> 26.8k @ 0.9995)
+            seeded_ef = int(os.environ.get(
+                "INSTANT_TPU_BENCH_SEEDED_EF", 16))
+            seeded_expand = int(os.environ.get(
+                "INSTANT_TPU_BENCH_SEEDED_EXPAND", 2))
             variants = []
-            for name, n_seeds, v_ef in (("seeded", seeds, ef),
-                                        ("descent", 0, descent_ef)):
+            for name, n_seeds, v_ef, v_exp in (
+                    ("seeded", seeds, seeded_ef, seeded_expand),
+                    ("descent", 0, descent_ef, None)):
                 try:
-                    pkw = dict(k=k, ef=v_ef, entry_seeds=n_seeds)
+                    pkw = dict(k=k, ef=v_ef, entry_seeds=n_seeds,
+                               expand=v_exp)
                     pt = time_fn(lambda q: packed.search_batch(q, **pkw),
                                  qbatch, warmup=3, iters=20)
                     v_qps = batch / pt.per_call_s

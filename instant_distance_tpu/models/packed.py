@@ -121,10 +121,15 @@ class PackedHnsw:
 
     def search_batch(self, queries, k: Optional[int] = None,
                      ef: Optional[int] = None, rerank: bool = True,
-                     filter_mask=None, entry_seeds: Optional[int] = None):
+                     filter_mask=None, entry_seeds: Optional[int] = None,
+                     expand: Optional[int] = None):
         """Batched query.  ``entry_seeds``: override Config.entry_seeds
         (S>0 = one MXU scan over the first S points replaces the upper
-        -layer descent; 0 = classic descent; None = config default)."""
+        -layer descent; 0 = classic descent; None = config default).
+        ``expand``: wavefront width override (Config.search_expand);
+        the hardware-tuned seeded-entry operating point is ef=16,
+        expand=2, seeds=8192 (82.9k QPS @ 0.9950 on 1M x 128 v5e —
+        see docs/performance.md round 3)."""
         cfg = self.config
         queries = jnp.asarray(queries, jnp.float32)
         if queries.ndim == 1:
@@ -138,8 +143,9 @@ class PackedHnsw:
             metric_name=(cfg.metric if isinstance(cfg.metric, str)
                          else cfg.metric),
             ef=ef, k=min(k, ef), max_iter_factor=cfg.max_iter_factor,
-            expand=getattr(cfg, "search_expand", 4), rerank=rerank,
-            n_upper=len(self.upper_packs))
+            expand=(expand if expand is not None
+                    else getattr(cfg, "search_expand", 4)),
+            rerank=rerank, n_upper=len(self.upper_packs))
 
     def search_batch_values(self, queries, k: Optional[int] = None,
                             ef: Optional[int] = None, filter_mask=None):
