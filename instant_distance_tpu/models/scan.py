@@ -227,41 +227,40 @@ def _fused_int_search_jit(queries, codes_t, norms_r, sg, points,
 @functools.partial(
     jax.jit,
     static_argnames=("ef", "k", "lsub", "qb", "cb", "inner", "rerank",
-                     "interpret", "metric_name"))
+                     "slab", "interpret", "metric_name"))
 def _fused_int_packed_search_jit(queries, codes_t, norms_r, sg, points,
                                  eligible, *, metric_name, ef, k, lsub,
-                                 qb, cb, inner, rerank, interpret):
+                                 qb, cb, inner, rerank, slab=False,
+                                 interpret=False):
     """Packed-key int-epilogue fused scan (ops/scan_kernel.py:
     fused_scan_bucket_int_packed): the slab index rides the rank's low
     bits, so the kernel's epilogue is a 2-op key + 1 min per element
     and it emits ONE output array — ids are reconstructed here from
-    the key bits and the output position."""
-    from ..ops.scan_kernel import (PACK_INELIGIBLE, PACK_THRESH,
-                                   fused_scan_bucket_int_packed)
+    the key bits and the output position.  ``slab`` selects the
+    slab-loop kernel body (per-slab matmuls, min held in registers)."""
+    from ..ops.scan_kernel import (PACK_OFFSET, PACK_THRESH,
+                                   fused_scan_bucket_int_packed, pack_w2)
 
+    d = queries.shape[1]
     qs = jnp.maximum(jnp.max(jnp.abs(queries)), 1e-30) / 127.0
     qc = jnp.clip(jnp.round(queries / qs), -127, 127).astype(jnp.int8)
     denom = 2.0 * qs * sg
-    wclamp = (1 << 29) // lsub - 1
-    w = jnp.where(jnp.isfinite(norms_r),
-                  jnp.clip(jnp.round(norms_r / denom), 0, wclamp),
-                  0).astype(jnp.int32)
-    ct = cb // lsub
-    col = jax.lax.broadcasted_iota(jnp.int32, w.shape, 1)
-    w2 = w * lsub + (col % cb) // ct
-    inel = ~jnp.isfinite(norms_r)
+    el = None
     if eligible is not None:
         npad = norms_r.shape[1] - eligible.shape[0]
-        inel = inel | ~jnp.pad(eligible, (0, npad))[None, :]
-    w2 = jnp.where(inel, PACK_INELIGIBLE, w2)
+        el = jnp.pad(eligible, (0, npad))[None, :]
+    w2 = pack_w2(norms_r, denom, el, lsub=lsub, cb=cb, d=d)
     od = fused_scan_bucket_int_packed(qc, w2, codes_t, lsub=lsub, qb=qb,
-                                      cb=cb, inner=inner,
+                                      cb=cb, inner=inner, slab=slab,
                                       interpret=interpret)
     efk = min(ef, od.shape[1])
-    # f32 keys are for SELECTION only (rounding above 2^24 could corrupt
-    # the packed slab bits) — the exact int keys are re-gathered by
-    # position before decoding ids
-    _, nidx = jax.lax.approx_min_k(od.astype(jnp.float32), efk)
+    ct = cb // lsub
+    # keys are non-negative by the pack_w2 bias, so their f32 BITCAST is
+    # order-preserving: approx_min_k runs on the reinterpreted array and
+    # no f32-converted copy of [B, N/lsub] is ever materialized.  The
+    # exact int keys are re-gathered by position before decoding ids.
+    _, nidx = jax.lax.approx_min_k(
+        jax.lax.bitcast_convert_type(od, jnp.float32), efk)
     keys = jnp.take_along_axis(od, nidx, axis=1)
     blk = nidx // ct
     lane = nidx % ct
@@ -269,7 +268,8 @@ def _fused_int_packed_search_jit(queries, codes_t, norms_r, sg, points,
     bi = jnp.where(keys < PACK_THRESH, bi, -1)
     if not rerank:
         shift = lsub.bit_length() - 1
-        rank = jnp.right_shift(keys, shift).astype(jnp.float32)
+        rank = (jnp.right_shift(keys, shift)
+                - PACK_OFFSET // lsub - 127 * 127 * d).astype(jnp.float32)
         qn2 = jnp.sum(queries * queries, axis=1, keepdims=True)
         bd = jnp.where(bi >= 0, rank * denom + qn2, jnp.inf)
         bd, bi = jax.lax.sort((bd, bi), dimension=1, num_keys=2)
@@ -502,7 +502,8 @@ class ScanIndex:
                      rerank: bool = True, filter_mask=None,
                      approx_topk: bool = False, tile: int = 0,
                      fused=False, topt: int = 8, lsub: int = 16,
-                     qb: int = 0, cb: int = 0, inner: int = 1):
+                     qb: int = 0, cb: int = 0, inner: int = 1,
+                     slab: bool = False):
         """[B, D] -> (dists [B, k], ids [B, k]); ids = input order.
 
         ``ef`` is the rerank depth (how many scan candidates get exact
@@ -520,7 +521,10 @@ class ScanIndex:
         resolution loss; L2-only — dot/cosine fall back to "bucket").
         ``topt``/``lsub`` are the per-block candidate count and
         stride-group width, ``qb``/``cb`` override the kernel's
-        query/point block sizes.
+        query/point block sizes.  ``slab=True`` (bucket_pack only)
+        selects the slab-loop kernel body — per-slab matmuls with the
+        running min held in registers instead of materializing the
+        full dot tile to VMEM (see ops/scan_kernel.py).
         """
         queries = jnp.asarray(queries, jnp.float32)
         if queries.ndim == 1:
@@ -557,7 +561,7 @@ class ScanIndex:
                     self._eligible(filter_mask),
                     metric_name="sqeuclidean", ef=ef, k=k, lsub=lsub,
                     qb=qb, cb=cb, inner=inner, rerank=rerank,
-                    interpret=interp)
+                    slab=slab, interpret=interp)
             elif mode == "bucket_int":
                 codes_t, norms_r, sg = self._fused_int_arrays(cb * inner)
                 d, i = _fused_int_search_jit(

@@ -281,8 +281,8 @@ def wave_step_core(adj, adjd, wave_pids, points, stacked, offsets, n_upper,
         # per-point-scale f32 bucket scan at lsub=8; the shared-scale
         # rank noise and the wider stride groups are both repaired by
         # the exact rerank below + the hop expansion that follows)
-        from .scan_kernel import (PACK_INELIGIBLE, PACK_THRESH,
-                                  fused_scan_bucket_int_packed)
+        from .scan_kernel import (PACK_THRESH,
+                                  fused_scan_bucket_int_packed, pack_w2)
 
         filled = wave_pids[0]  # builders put the lowest pid in lane 0
         lsub, cbk = _FUSED_PACK_LSUB, _FUSED_PACK_CB
@@ -291,14 +291,9 @@ def wave_step_core(adj, adjd, wave_pids, points, stacked, offsets, n_upper,
         qs = jnp.maximum(jnp.max(jnp.abs(q)), 1e-30) / 127.0
         qc = jnp.clip(jnp.round(q / qs), -127, 127).astype(jnp.int8)
         denom = 2.0 * qs * sg
-        wclamp = (1 << 29) // lsub - 1
-        wgt = jnp.where(jnp.isfinite(norms),
-                        jnp.clip(jnp.round(norms / denom), 0, wclamp),
-                        0).astype(jnp.int32)
         col = jax.lax.broadcasted_iota(jnp.int32, norms.shape, 1)
-        w2 = wgt * lsub + (col % cbk) // ct
-        w2 = jnp.where((col < filled) & jnp.isfinite(norms), w2,
-                       PACK_INELIGIBLE)
+        w2 = pack_w2(norms, denom, col < filled, lsub=lsub, cb=cbk,
+                     d=q.shape[1])
         qb = max(32, min(256, w))      # int8 sublane minimum is 32
         qpad = (-w) % qb
         if qpad:
@@ -308,11 +303,12 @@ def wave_step_core(adj, adjd, wave_pids, points, stacked, offsets, n_upper,
             qc, w2, codes, lsub=lsub, qb=qb, cb=cbk,
             interpret=jax.default_backend() == "cpu")[:w]
         k_sel = min(efc, od.shape[1])
-        # f32 keys are for SELECTION only (rounding above 2^24 could
-        # corrupt the packed slab bits) — exact int keys re-gathered by
-        # position before decoding ids
-        _, nidx = jax.lax.approx_min_k(od.astype(jnp.float32), k_sel,
-                                       recall_target=0.999)
+        # keys are non-negative (pack_w2 bias) so the f32 BITCAST is
+        # order-preserving — no converted copy of the key array; exact
+        # int keys re-gathered by position before decoding ids
+        _, nidx = jax.lax.approx_min_k(
+            jax.lax.bitcast_convert_type(od, jnp.float32), k_sel,
+            recall_target=0.999)
         keys = jnp.take_along_axis(od, nidx, axis=1)
         blk = nidx // ct
         lane = nidx % ct

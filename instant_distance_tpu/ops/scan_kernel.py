@@ -249,11 +249,56 @@ def fused_scan_bucket_int(qc, w, codes_t, *, lsub: int = 32,
     return od, oi
 
 
-#: Packed-key constants (``fused_scan_bucket_int_packed``): ineligible
-#: points carry w2 = 2^30; any real key stays below 3*2^28 provided
-#: 127^2 * D * lsub <= 2^28 (the wrapper enforces D*lsub <= 16384).
-PACK_INELIGIBLE = 1 << 30
-PACK_THRESH = 3 << 28
+#: Packed-key constants (``fused_scan_bucket_int_packed``).  The packed
+#: weights carry a +127^2*D rank bias and a +2^23 offset (see
+#: :func:`pack_w2`) so every emitted key lands in [2^23, 2^31):
+#: positive int32 in that range bitcast to f32 are NORMAL floats whose
+#: order equals integer order, which lets consumers run
+#: ``approx_min_k`` directly on the (free) bitcast of the key array
+#: instead of materializing an f32 convert of the full [B, N/lsub]
+#: array (a ~1 GB HBM pass per 8k batch at 1M points).  Keys below
+#: 2^23 would bitcast to denormals, which approx_min_k's reduction
+#: flushes to zero — scrambling the selection entirely.  Bounds, given
+#: the wrapper's D*lsub <= 16384 guard (so |dot|*lsub <= 127^2*16384
+#: < 2^28) and the callers' w <= 2^29/lsub - 1 clamp:
+#:   real key      in [2^23, 2^29 + 2*2^28 + 2^23)    <  9*2^27
+#:   ineligible    in [3*2^29 - 2^28, 3*2^29 + 2^28 + 2^23]  > 9*2^27
+PACK_INELIGIBLE = 3 << 29
+PACK_THRESH = 9 << 27
+PACK_OFFSET = 1 << 23
+
+
+def pack_w2(norms_row, denom, eligible_row, *, lsub: int, cb: int,
+            d: int):
+    """Build the packed-weight operand for the packed-key kernels.
+
+    Args:
+      norms_row:    [1, N] f32 squared norms of the dequantized points
+                    (non-finite marks padding).
+      denom:        scalar f32, ``2 * qs * s`` (shared query x point
+                    quantization scales).
+      eligible_row: [1, N] bool, or None — extra eligibility mask
+                    (filters / prefix bounds) beyond finite norms.
+      lsub, cb, d:  kernel stride-group width, point-block size, dim.
+    Returns [1, N] int32:
+      ``(clamp(round(norms/denom), 0, 2^29/lsub - 1) + 127^2*d) * lsub
+      + slab(col) + 2^23`` for eligible points, else PACK_INELIGIBLE.
+    The 127^2*d bias keeps ``key = w2 - dot*lsub`` non-negative for
+    every possible int8 dot and the 2^23 offset lifts it into the
+    normal-float bitcast range (see PACK_OFFSET; 2^23 is a multiple of
+    lsub so the slab bits are untouched); rank decode is
+    ``(key >> log2(lsub)) - 2^23/lsub - 127^2*d``.
+    """
+    bias = 127 * 127 * d
+    wclamp = (1 << 29) // lsub - 1
+    fin = jnp.isfinite(norms_row)
+    w = jnp.where(fin, jnp.clip(jnp.round(norms_row / denom), 0, wclamp),
+                  0).astype(jnp.int32)
+    ct = cb // lsub
+    col = jax.lax.broadcasted_iota(jnp.int32, norms_row.shape, 1)
+    w2 = (w + bias) * lsub + (col % cb) // ct + PACK_OFFSET
+    ok = fin if eligible_row is None else (fin & eligible_row)
+    return jnp.where(ok, w2, PACK_INELIGIBLE)
 
 
 def _bucket_scan_int_packed_kernel(qc_ref, w2_ref, codes_ref, od_ref, *,
@@ -288,27 +333,57 @@ def _bucket_scan_int_packed_kernel(qc_ref, w2_ref, codes_ref, od_ref, *,
         od_ref[:, j * ct:(j + 1) * ct] = m
 
 
+def _bucket_scan_int_packed_slab_kernel(qc_ref, w2_ref, codes_ref,
+                                        od_ref, *, lsub: int, cb: int,
+                                        inner: int):
+    """Slab-loop form of the packed kernel.
+
+    ``_bucket_scan_int_packed_kernel`` materializes the full [qb, cb]
+    int32 dot tile to VMEM and the min-chain re-reads it — the round-3
+    probe attribution measured that re-read at ~46% of cell time (the
+    1-op/element min stage cost 4.2 ms/batch while the 2-op key compute
+    cost 0.3 ms: the chain is VPU-load-bound, not ALU-bound).  Here each
+    stride-slab gets its own [qb, ct] matmul and the min accumulates in
+    registers, so the dot tile never round-trips VMEM — and slab t+1's
+    MXU pass is independent of slab t's VPU epilogue, letting the
+    scheduler overlap the two units.
+    """
+    ct = cb // lsub
+    for j in range(inner):
+        m = None
+        for t in range(lsub):
+            sl = slice(j * cb + t * ct, j * cb + (t + 1) * ct)
+            dot = jax.lax.dot_general(
+                qc_ref[:], codes_ref[:, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)          # [QB, ct]
+            key = w2_ref[:, sl] - dot * lsub
+            m = key if m is None else jnp.minimum(m, key)
+        od_ref[:, j * ct:(j + 1) * ct] = m
+
+
 @functools.partial(
-    jax.jit, static_argnames=("lsub", "qb", "cb", "inner", "interpret"))
+    jax.jit, static_argnames=("lsub", "qb", "cb", "inner", "slab",
+                              "interpret"))
 def fused_scan_bucket_int_packed(qc, w2, codes_t, *, lsub: int = 32,
                                  qb: int = 512, cb: int = 4096,
-                                 inner: int = 1,
+                                 inner: int = 1, slab: bool = False,
                                  interpret: bool = False):
     """Packed-key int-epilogue fused scan.
 
     Args:
       qc:      [B, D] int8 query codes, ONE shared scale.
-      w2:      [1, N] int32 packed weights:
-               ``clamp(W, 0, 2^29/lsub - 1) * lsub + slab(col)`` for
-               eligible points (W as in :func:`fused_scan_bucket_int`,
-               slab(col) = (col % cb) // (cb//lsub)), PACK_INELIGIBLE
-               for ineligible/padded columns.
+      w2:      [1, N] int32 packed weights, built by :func:`pack_w2`
+               (rank-biased so emitted keys are non-negative),
+               PACK_INELIGIBLE for ineligible/padded columns.
       codes_t: [D, N] int8 point codes, ONE shared scale.
-    Returns ``keys [B, N/lsub]`` int32, block-major.  Decode:
-    rank = key >> log2(lsub) (monotone in squared L2), slab = key &
-    (lsub-1), id = (col//ct)*cb + slab*ct + col%ct; key >= PACK_THRESH
-    marks groups with no eligible point.  Requires D * lsub <= 16384
-    so real and ineligible keys cannot collide (see PACK_THRESH).
+    Returns ``keys [B, N/lsub]`` int32, block-major, all >= 0.  Decode:
+    rank = (key >> log2(lsub)) - 127^2*D (monotone in squared L2),
+    slab = key & (lsub-1), id = (col//ct)*cb + slab*ct + col%ct;
+    key >= PACK_THRESH marks groups with no eligible point.  Requires
+    D * lsub <= 16384 so real and ineligible keys cannot collide (see
+    PACK_THRESH) and the bias cannot overflow.
+    ``slab=True`` selects the slab-loop kernel body (identical output;
+    see ``_bucket_scan_int_packed_slab_kernel``).
     """
     b, d = qc.shape
     n = codes_t.shape[1]
@@ -326,8 +401,9 @@ def fused_scan_bucket_int_packed(qc, w2, codes_t, *, lsub: int = 32,
     nc = n // cbo
     grid = (nc, b // qb)
 
-    kernel = functools.partial(_bucket_scan_int_packed_kernel, lsub=lsub,
-                               cb=cb, inner=inner)
+    body = (_bucket_scan_int_packed_slab_kernel if slab
+            else _bucket_scan_int_packed_kernel)
+    kernel = functools.partial(body, lsub=lsub, cb=cb, inner=inner)
     (od,) = pl.pallas_call(
         kernel,
         grid=grid,

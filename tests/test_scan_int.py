@@ -136,6 +136,68 @@ def test_bucket_int_norerank_values_in_metric_units(data):
     assert np.median(rel) < 0.15
 
 
+def test_slab_kernel_bit_identical():
+    """The slab-loop body (per-slab matmuls, min accumulated in
+    registers — built to kill the VMEM re-read of the materialized dot
+    tile measured at ~46% of cell time) must produce byte-identical
+    keys to the materialize-then-chain body."""
+    import jax.numpy as jnp
+
+    from instant_distance_tpu.ops.scan_kernel import \
+        fused_scan_bucket_int_packed
+
+    rng = np.random.default_rng(11)
+    qc = jnp.asarray(rng.integers(-127, 128, (16, 16), dtype=np.int8))
+    codes_t = jnp.asarray(rng.integers(-127, 128, (16, 256),
+                                       dtype=np.int8))
+    w2 = jnp.asarray(rng.integers(0, 1 << 24, (1, 256), dtype=np.int32))
+    for inner in (1, 2):
+        kw = dict(lsub=4, qb=8, cb=32, inner=inner, interpret=True)
+        want = fused_scan_bucket_int_packed(qc, w2, codes_t, slab=False,
+                                            **kw)
+        got = fused_scan_bucket_int_packed(qc, w2, codes_t, slab=True,
+                                           **kw)
+        assert np.array_equal(np.asarray(want), np.asarray(got))
+
+
+def test_pack_w2_bias_keeps_keys_normal_and_bitcast_monotone():
+    """pack_w2's 127^2*D rank bias + 2^23 offset guarantee every
+    emitted key lands in [2^23, PACK_THRESH), so the f32 BITCAST of the
+    key array is a NORMAL float (approx_min_k flushes denormals to
+    zero — keys below 2^23 would scramble the selection) and
+    order-preserving (the contract the approx_min_k consumers rely on
+    to skip the converted copy)."""
+    import jax
+    import jax.numpy as jnp
+
+    from instant_distance_tpu.ops.scan_kernel import (
+        PACK_OFFSET, PACK_THRESH, fused_scan_bucket_int_packed, pack_w2)
+
+    rng = np.random.default_rng(7)
+    d, n, lsub, cb = 16, 256, 4, 32
+    # worst case: zero norms (w=0) against maximally-aligned codes
+    pts = rng.standard_normal((n, d)).astype(np.float32)
+    norms = jnp.asarray(np.sum(pts * pts, 1, dtype=np.float32))[None, :]
+    w2 = pack_w2(norms, jnp.float32(1.0), None, lsub=lsub, cb=cb, d=d)
+    qc = jnp.full((8, d), 127, jnp.int8)
+    codes_t = jnp.full((d, n), -127, jnp.int8)  # dot = -127^2*d (max key)
+    hi = fused_scan_bucket_int_packed(qc, w2, codes_t, lsub=lsub, qb=8,
+                                      cb=cb, interpret=True)
+    codes_t = jnp.full((d, n), 127, jnp.int8)   # dot = +127^2*d (min key)
+    w0 = pack_w2(jnp.zeros_like(norms), jnp.float32(1.0), None,
+                 lsub=lsub, cb=cb, d=d)
+    lo = fused_scan_bucket_int_packed(qc, w0, codes_t, lsub=lsub, qb=8,
+                                      cb=cb, interpret=True)
+    keys = np.concatenate([np.asarray(hi).ravel(), np.asarray(lo).ravel()])
+    assert (keys >= PACK_OFFSET).all()   # normal-float bitcast range
+    assert keys.max() < PACK_THRESH
+    # bitcast order == integer order on the emitted keys
+    asf = np.asarray(jax.lax.bitcast_convert_type(jnp.asarray(keys),
+                                                  jnp.float32))
+    assert (np.argsort(asf, kind="stable")
+            == np.argsort(keys, kind="stable")).all()
+
+
 def test_probe_full_matches_production_kernel():
     """The roofline-attribution probe at probe="full" runs the exact
     production packed-key epilogue; its output must be bit-identical

@@ -66,24 +66,18 @@ def main():
         # (full - min) = key cost, (min - mm) = min-chain cost,
         # mm vs the analytic MXU time = fixed/HBM overhead.
         import jax.numpy as jnp2
-        from instant_distance_tpu.ops.scan_kernel import fused_scan_probe
+        from instant_distance_tpu.ops.scan_kernel import (
+            fused_scan_probe, pack_w2)
         qb_, cb_, ls_ = 1024, 8192, 64
         arrs = idx._fused_int_arrays(cb_)
         codes_t, norms_r, sg = arrs
         qs = jnp2.maximum(jnp2.max(jnp2.abs(queries)), 1e-30) / 127.0
         qc = jnp2.clip(jnp2.round(queries / qs), -127,
                        127).astype(jnp2.int8)
-        wclamp = (1 << 29) // ls_ - 1
         denom = 2.0 * qs * sg
-        w = jnp2.where(jnp2.isfinite(norms_r),
-                       jnp2.clip(jnp2.round(norms_r / denom), 0, wclamp),
-                       0).astype(jnp2.int32)
-        ct_ = cb_ // ls_
-        col = jax.lax.broadcasted_iota(jnp2.int32, w.shape, 1)
-        w2 = jnp2.where(jnp2.isfinite(norms_r),
-                        w * ls_ + (col % cb_) // ct_, 1 << 30)
-        force_ready(w2)
         d_ = qc.shape[1]
+        w2 = pack_w2(norms_r, denom, None, lsub=ls_, cb=cb_, d=d_)
+        force_ready(w2)
         flops = 2.0 * qc.shape[0] * codes_t.shape[1] * d_
         for probe in ("mm", "min", "full"):
             t = time_fn(lambda q, p=probe: fused_scan_probe(
@@ -95,6 +89,68 @@ def main():
                   f"  qps-equiv {qc.shape[0] / t.per_call_s:10,.0f}",
                   flush=True)
         return
+    if sweep == "post":
+        # Stage attribution of the END-TO-END packed path (the kernel's
+        # probe=full is 9.09 ms/batch but search_batch measures ~18 ms:
+        # where does the other half go?).  Times, separately:
+        #   kern = the Pallas kernel alone
+        #   sel  = bitcast + approx_min_k + key gather + id decode
+        #   rr   = exact rerank of ef ids (row gathers + f32 distances)
+        import jax.numpy as jnp2
+        from instant_distance_tpu.ops.distance import resolve
+        from instant_distance_tpu.models.scan import rerank_exact
+        from instant_distance_tpu.ops.scan_kernel import (
+            PACK_THRESH, fused_scan_bucket_int_packed, pack_w2)
+        qb_, cb_, ls_, ef_ = 1024, 8192, 64, 16
+        codes_t, norms_r, sg = idx._fused_int_arrays(cb_)
+        qs = jnp2.maximum(jnp2.max(jnp2.abs(queries)), 1e-30) / 127.0
+        qc = jnp2.clip(jnp2.round(queries / qs), -127,
+                       127).astype(jnp2.int8)
+        w2 = pack_w2(norms_r, 2.0 * qs * sg, None, lsub=ls_, cb=cb_,
+                     d=qc.shape[1])
+        kern = lambda q: fused_scan_bucket_int_packed(
+            qc, w2, codes_t, lsub=ls_, qb=qb_, cb=cb_)
+        od = kern(None)
+        force_ready(od)
+        ct_ = cb_ // ls_
+
+        @jax.jit
+        def sel(od_):
+            _, nidx = jax.lax.approx_min_k(
+                jax.lax.bitcast_convert_type(od_, jnp2.float32), ef_)
+            keys = jnp2.take_along_axis(od_, nidx, axis=1)
+            bi = (nidx // ct_) * cb_ + (keys & (ls_ - 1)) * ct_ \
+                + nidx % ct_
+            return jnp2.where(keys < PACK_THRESH, bi, -1)
+
+        @jax.jit
+        def selcvt(od_):  # the retired f32-convert selection, for delta
+            _, nidx = jax.lax.approx_min_k(od_.astype(jnp2.float32),
+                                           ef_)
+            keys = jnp2.take_along_axis(od_, nidx, axis=1)
+            bi = (nidx // ct_) * cb_ + (keys & (ls_ - 1)) * ct_ \
+                + nidx % ct_
+            return jnp2.where(keys < PACK_THRESH, bi, -1)
+
+        bi = sel(od)
+        force_ready(bi)
+        metric = resolve("sqeuclidean")
+        rr = jax.jit(lambda q, bi_: rerank_exact(q, idx.points, bi_,
+                                                 metric, 10))
+        force_ready(rr(queries, bi)[0])
+        stages = [("kern", lambda q: kern(None)),
+                  ("sel_bitcast", lambda q: sel(od)),
+                  ("sel_f32cvt", lambda q: selcvt(od)),
+                  ("rerank", lambda q: rr(q, bi)),
+                  ("end2end", lambda q: idx.search_batch(
+                      q, k=10, ef=ef_, fused="bucket_pack", lsub=ls_,
+                      qb=qb_, cb=cb_))]
+        for r in range(int(os.environ.get("TUNE_ROUNDS", 3))):
+            for name, fn in stages:
+                t = time_fn(fn, queries, warmup=1, iters=8)
+                print(f"round {r} {name:12s} {t.per_call_s * 1e3:8.2f}"
+                      f" ms/batch", flush=True)
+        return
     if sweep == "bucket":  # round-2 float-epilogue sweep (kept for repro)
         grid = [("bucket", qb, cb, lsub, inner, ef_)
                 for qb, cb, lsub, inner, ef_ in [
@@ -105,6 +161,19 @@ def main():
                     (512, 4096, 32, 1, 32),
                     (512, 8192, 32, 1, 16),
                     (1024, 2048, 16, 1, 16),
+                ]]
+    elif sweep == "slab":
+        # Slab-loop kernel body (per-slab matmuls, min in registers) vs
+        # the materialize-then-chain body, same packed-key contract.
+        grid = [(mode, qb, cb, lsub, inner, 16)
+                for mode in ("bucket_pack", "bucket_pack_slab")
+                for qb, cb, lsub, inner in [
+                    (1024, 8192, 64, 1),   # tuned non-slab config
+                    (512, 8192, 64, 1),
+                    (256, 8192, 64, 1),
+                    (1024, 8192, 64, 2),
+                    (512, 32768, 128, 1),
+                    (256, 16384, 128, 1),
                 ]]
     else:
         # Round-3 sweep: int epilogue (1 sub + argmin track) vs packed
@@ -132,8 +201,11 @@ def main():
         if cfg is None:
             return idx.search_batch(q, k=k, ef=ef, approx_topk=True)
         mode, qb, cb, lsub, inner, ef_ = cfg
-        return idx.search_batch(q, k=k, ef=ef_, fused=mode, qb=qb,
-                                cb=cb, lsub=lsub, inner=inner)
+        slab = mode.endswith("_slab")
+        return idx.search_batch(q, k=k, ef=ef_,
+                                fused=mode[:-5] if slab else mode,
+                                qb=qb, cb=cb, lsub=lsub, inner=inner,
+                                slab=slab)
 
     results = {name: [] for name, _ in configs}
     ok = {}
