@@ -32,6 +32,9 @@ D = int(os.environ.get("BENCH_BUILD_D", 128))
 #: bf16 distance cache halves a 10M build's largest side array.
 CACHE_DTYPE = os.environ.get("BENCH_BUILD_CACHE_DTYPE", "float32")
 CKPT = os.environ.get("BENCH_BUILD_CKPT")  # path -> checkpoint/resume
+#: At 10M a checkpoint round-trips ~5 GB through the dev tunnel's slow
+#: relay — space them out (or effectively disable) for timing runs.
+CKPT_EVERY = int(os.environ.get("BENCH_BUILD_CKPT_EVERY", 256))
 
 
 def run(n: int, mode: str):
@@ -46,7 +49,7 @@ def run(n: int, mode: str):
     index, ids = Hnsw.build(pts, cfg,
                             progress=BuildStats(log_every=max(100_000,
                                                               n // 20)),
-                            checkpoint=CKPT, checkpoint_every=256)
+                            checkpoint=CKPT, checkpoint_every=CKPT_EVERY)
     np.asarray(index.zero[n - 1])       # honest barrier: device readback
     dt = time.time() - t0
     print(f"N={n:>9,} mode={mode:5s} build={dt:8.1f}s "

@@ -135,8 +135,12 @@ def main():
         bi = sel(od)
         force_ready(bi)
         metric = resolve("sqeuclidean")
-        rr = jax.jit(lambda q, bi_: rerank_exact(q, idx.points, bi_,
-                                                 metric, 10))
+        # points must be an ARGUMENT: a closed-over 1M x 128 f32 array
+        # becomes a 512 MB HLO constant and blows the remote-compile
+        # request (HTTP 413) through the axon tunnel.
+        rr_j = jax.jit(lambda q, pts, bi_: rerank_exact(q, pts, bi_,
+                                                        metric, 10))
+        rr = lambda q, bi_: rr_j(q, idx.points, bi_)
         force_ready(rr(queries, bi)[0])
         stages = [("kern", lambda q: kern(None)),
                   ("sel_bitcast", lambda q: sel(od)),
