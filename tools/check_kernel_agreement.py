@@ -5,8 +5,8 @@ hermetic on the single-core box), so a Mosaic-only miscompile would slip
 through to the bench.  This stage runs the real compiled kernels on the
 TPU against the pure-XLA streamed scan on 100k points and asserts top-1
 agreement >= 0.999 for every fused variant (bucket / bucket_int /
-bucket_pack) — tie-breaks between equidistant points account for the
-tiny allowed slack.
+bucket_pack / bucket_pack's slab-loop body) — tie-breaks between
+equidistant points account for the tiny allowed slack.
 
 Run (serialized with other TPU work):
     PYTHONPATH=/root/repo:$PYTHONPATH timeout 900 \
@@ -44,9 +44,11 @@ def main() -> int:
     xi = np.asarray(xi)
 
     failed = False
-    for mode in ("bucket", "bucket_int", "bucket_pack"):
-        fd, fi = idx.search_batch(queries, k=k, ef=16, fused=mode,
-                                  qb=512, cb=4096, lsub=32)
+    for mode in ("bucket", "bucket_int", "bucket_pack", "bucket_pack_slab"):
+        slab = mode == "bucket_pack_slab"
+        fd, fi = idx.search_batch(queries, k=k, ef=16,
+                                  fused="bucket_pack" if slab else mode,
+                                  qb=512, cb=4096, lsub=32, slab=slab)
         fi = np.asarray(fi)
         top1 = float((fi[:, 0] == xi[:, 0]).mean())
         # top-k set agreement is the serving-relevant metric
