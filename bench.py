@@ -275,13 +275,15 @@ def main() -> None:
     # half the output traffic).
     # defaults = hardware-tuned bests (tools/tune_scan_kernel.py,
     # 2026-08-19 pack sweep: pack 1024/8192/64 5.26x the XLA scan,
-    # int 1024/4096/32 4.86x, f32 bucket 512/4096/32 from the r2 sweep)
+    # int 1024/4096/32 4.86x, f32 bucket 512/4096/32 from the r2 sweep;
+    # slab-body follow-up sweep: inner=2 lifts pack to 5.56x, slab body
+    # ties the grid body within noise, so the simpler grid stays)
     fused_kw = {
         "scan_fused": dict(fused="bucket", qb=512, cb=4096, lsub=32),
         "scan_fused_int": dict(fused="bucket_int", qb=1024, cb=4096,
                                lsub=32),
         "scan_fused_pack": dict(fused="bucket_pack", qb=1024, cb=8192,
-                                lsub=64),
+                                lsub=64, inner=2),
     }
     # hardware-tuned overrides (tools/tune_scan_kernel.py results)
     tuned = os.environ.get("INSTANT_TPU_BENCH_FUSED_TUNED")
