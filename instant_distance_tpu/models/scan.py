@@ -227,11 +227,11 @@ def _fused_int_search_jit(queries, codes_t, norms_r, sg, points,
 @functools.partial(
     jax.jit,
     static_argnames=("ef", "k", "lsub", "qb", "cb", "inner", "rerank",
-                     "slab", "interpret", "metric_name"))
+                     "slab", "sel_group", "interpret", "metric_name"))
 def _fused_int_packed_search_jit(queries, codes_t, norms_r, sg, points,
                                  eligible, *, metric_name, ef, k, lsub,
                                  qb, cb, inner, rerank, slab=False,
-                                 interpret=False):
+                                 sel_group=0, interpret=False):
     """Packed-key int-epilogue fused scan (ops/scan_kernel.py:
     fused_scan_bucket_int_packed): the slab index rides the rank's low
     bits, so the kernel's epilogue is a 2-op key + 1 min per element
@@ -259,9 +259,30 @@ def _fused_int_packed_search_jit(queries, codes_t, norms_r, sg, points,
     # order-preserving: approx_min_k runs on the reinterpreted array and
     # no f32-converted copy of [B, N/lsub] is ever materialized.  The
     # exact int keys are re-gathered by position before decoding ids.
-    _, nidx = jax.lax.approx_min_k(
-        jax.lax.bitcast_convert_type(od, jnp.float32), efk)
-    keys = jnp.take_along_axis(od, nidx, axis=1)
+    if sel_group > 1 and od.shape[1] % sel_group == 0 \
+            and od.shape[1] // sel_group >= efk:
+        # Grouped-min pre-reduction: approx_min_k on [B, N/lsub] runs
+        # far below HBM bandwidth (measured ~6.6 ms of a 17 ms batch at
+        # 1M x 128), while an integer min over sel_group-wide column
+        # groups is a bandwidth-bound pass that shrinks its input
+        # sel_group-fold.  Select the top-ef GROUPS, then re-gather each
+        # winner group's keys to recover the winning column exactly.
+        # Semantics: top-ef distinct-group columns — a candidate is
+        # lost only when two true top-ef columns share a group (random
+        # ~ef*g/ncols chance per candidate); the exact rerank absorbs it.
+        b = od.shape[0]
+        og = od.reshape(b, od.shape[1] // sel_group, sel_group)
+        gmin = og.min(axis=2)
+        _, gidx = jax.lax.approx_min_k(
+            jax.lax.bitcast_convert_type(gmin, jnp.float32), efk)
+        cand = jnp.take_along_axis(og, gidx[:, :, None], axis=1)
+        j = jnp.argmin(cand, axis=2).astype(jnp.int32)
+        keys = jnp.min(cand, axis=2)
+        nidx = gidx * sel_group + j
+    else:
+        _, nidx = jax.lax.approx_min_k(
+            jax.lax.bitcast_convert_type(od, jnp.float32), efk)
+        keys = jnp.take_along_axis(od, nidx, axis=1)
     blk = nidx // ct
     lane = nidx % ct
     bi = blk * cb + (keys & (lsub - 1)) * ct + lane
@@ -503,7 +524,7 @@ class ScanIndex:
                      approx_topk: bool = False, tile: int = 0,
                      fused=False, topt: int = 8, lsub: int = 16,
                      qb: int = 0, cb: int = 0, inner: int = 1,
-                     slab: bool = False):
+                     slab: bool = False, sel_group: int = 0):
         """[B, D] -> (dists [B, k], ids [B, k]); ids = input order.
 
         ``ef`` is the rerank depth (how many scan candidates get exact
@@ -525,6 +546,12 @@ class ScanIndex:
         selects the slab-loop kernel body — per-slab matmuls with the
         running min held in registers instead of materializing the
         full dot tile to VMEM (see ops/scan_kernel.py).
+        ``sel_group=g`` (bucket_pack only) pre-reduces the kernel's key
+        array with a bandwidth-bound g-wide column min before the
+        approx_min_k selection (which otherwise dominates the
+        non-kernel time); candidates become the top-ef distinct-group
+        columns — a ~ef*g/(N/lsub) fraction of candidates can merge,
+        which the exact rerank absorbs.
         """
         queries = jnp.asarray(queries, jnp.float32)
         if queries.ndim == 1:
@@ -561,7 +588,7 @@ class ScanIndex:
                     self._eligible(filter_mask),
                     metric_name="sqeuclidean", ef=ef, k=k, lsub=lsub,
                     qb=qb, cb=cb, inner=inner, rerank=rerank,
-                    slab=slab, interpret=interp)
+                    slab=slab, sel_group=sel_group, interpret=interp)
             elif mode == "bucket_int":
                 codes_t, norms_r, sg = self._fused_int_arrays(cb * inner)
                 d, i = _fused_int_search_jit(

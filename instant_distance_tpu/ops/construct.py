@@ -228,20 +228,26 @@ def _hop_repair(q, cand_d, cand_p, adj, points, metric, hops: int):
     return cd[:, :efc], cp[:, :efc]
 
 
-def wave_step_core(adj, adjd, wave_pids, points, stacked, offsets, n_upper,
-                   zero_links, codes=None, scales=None, norms=None, *,
-                   metric_name, efc: int, m: int, m0: int,
-                   heuristic, rev_chunk: int, pend_cap: int,
-                   max_iter_factor: int, expand: int = 1,
-                   rev_rounds: int = 4, search_mode: str = "beam",
-                   pd_dtype: str = "bfloat16", hop_repair: int = 0,
-                   debug_iters: bool = False):
-    """Insert one wave of points: search, select, commit edges.
+def search_select_core(wave_pids, points, stacked, offsets, n_upper,
+                       zero_links, codes=None, scales=None, norms=None,
+                       adj=None, *,
+                       metric_name, efc: int, m: int, m0: int,
+                       heuristic, max_iter_factor: int, expand: int = 1,
+                       search_mode: str = "beam",
+                       pd_dtype: str = "bfloat16", hop_repair: int = 0,
+                       debug_iters: bool = False):
+    """Wave search + forward selection (Alg. 1-4 up to lib.rs:465-473).
 
-    ``adj``/``adjd`` are [N+1, m0] (row N is the padded-lane write sink).
-    ``heuristic`` is None or (extend_candidates, keep_pruned).
-    ``zero_links`` (M*2 for a zero-layer wave, M above, lib.rs:445) is a
-    traced scalar so one compiled program serves every layer.
+    Returns ``(sel_d, sel_p)`` (``+ search_iters`` when ``debug_iters``):
+    each wave point's selected forward neighbors, masked to -1/inf for
+    padded lanes.  ``adj`` is needed ONLY by the beam search mode, the
+    hop-repair expansion, and ``extend_candidates`` — the default
+    scan-mode configuration never touches it, which is what lets
+    ``build_graph`` run search and commit as two separate XLA programs:
+    the monolithic wave program's peak HBM plan holds staging copies of
+    the [N+1, m0] adjacency arrays AND the scan operands simultaneously
+    (21.2 GB at 10M x 96 — over a v5e's 15.75 GB), while neither half
+    needs both.
 
     ``search_mode``:
       * ``"beam"`` — batched graph beam search of the pre-wave graph
@@ -257,16 +263,8 @@ def wave_step_core(adj, adjd, wave_pids, points, stacked, offsets, n_upper,
         point..."); on TPU the scan is ~50x cheaper than walking, and
         strictly better candidates -> same-or-better graphs (Alg. 4
         selection sees the exact neighborhood).
-
-    Returns ``(adj, adjd, n_dropped)``; ``n_dropped`` counts reverse-edge
-    additions lost to the ``pend_cap`` overflow (see
-    ``_group_reverse_edges``) — builders accumulate it and warn.
-    ``debug_iters`` appends the wave search's beam iteration count and
-    the reverse-commit rounds executed to the return tuple (diagnostics
-    only).
     """
     metric = resolve(metric_name)
-    n = adj.shape[0] - 1
     w = wave_pids.shape[0]
     wvalid = wave_pids >= 0
     q = points[jnp.clip(wave_pids, 0)]                       # [W, D]
@@ -471,6 +469,29 @@ def wave_step_core(adj, adjd, wave_pids, points, stacked, offsets, n_upper,
             keep_pruned=keep_pruned, pd_dtype=jnp.dtype(pd_dtype))
     sel_p = jnp.where(wvalid[:, None], sel_p, -1)
     sel_d = jnp.where(sel_p >= 0, sel_d, jnp.inf)
+    if debug_iters:
+        return sel_d, sel_p, search_iters
+    return sel_d, sel_p
+
+
+def commit_core(adj, adjd, wave_pids, points, sel_d, sel_p, *,
+                metric_name, m0: int, heuristic, rev_chunk: int,
+                pend_cap: int, rev_rounds: int = 4,
+                pd_dtype: str = "bfloat16", debug_iters: bool = False):
+    """Commit one wave's selected edges: forward rows + grouped reverse
+    re-selection (lib.rs:481-517).
+
+    ``adj``/``adjd`` are [N+1, m0] (row N is the padded-lane write sink)
+    and should be DONATED by the jit wrapper — the update is in place.
+    Returns ``(adj, adjd, n_dropped)`` (``+ rounds_run`` when
+    ``debug_iters``); ``n_dropped`` counts reverse-edge additions lost
+    to the ``pend_cap`` overflow (see ``_group_reverse_edges``) —
+    builders accumulate it and warn.
+    """
+    metric = resolve(metric_name)
+    n = adj.shape[0] - 1
+    w = wave_pids.shape[0]
+    wvalid = wave_pids >= 0
 
     # --- commit forward rows (node.set(i, pid), lib.rs:516) -------------
     rows = jnp.where(wvalid, wave_pids, n)
@@ -585,8 +606,49 @@ def wave_step_core(adj, adjd, wave_pids, points, stacked, offsets, n_upper,
     rounds_run, adj, adjd = jax.lax.while_loop(
         round_cond, round_body, (jnp.int32(0), adj, adjd))
     if debug_iters:
-        return adj, adjd, n_dropped, search_iters, rounds_run
+        return adj, adjd, n_dropped, rounds_run
     return adj, adjd, n_dropped
+
+
+def wave_step_core(adj, adjd, wave_pids, points, stacked, offsets, n_upper,
+                   zero_links, codes=None, scales=None, norms=None, *,
+                   metric_name, efc: int, m: int, m0: int,
+                   heuristic, rev_chunk: int, pend_cap: int,
+                   max_iter_factor: int, expand: int = 1,
+                   rev_rounds: int = 4, search_mode: str = "beam",
+                   pd_dtype: str = "bfloat16", hop_repair: int = 0,
+                   debug_iters: bool = False):
+    """Insert one wave of points: search, select, commit edges — the
+    monolithic composition of :func:`search_select_core` +
+    :func:`commit_core` (one XLA program; see those for semantics).
+    Beam-mode builds use this (the search itself reads ``adj``); scan
+    -mode builds at default settings run the two halves as separate
+    programs instead (``build_graph``) to halve the peak HBM plan.
+
+    Returns ``(adj, adjd, n_dropped)``; ``debug_iters`` appends the wave
+    search's beam iteration count and the reverse-commit rounds executed
+    (diagnostics only).
+    """
+    res = search_select_core(
+        wave_pids, points, stacked, offsets, n_upper, zero_links,
+        codes, scales, norms, adj,
+        metric_name=metric_name, efc=efc, m=m, m0=m0,
+        heuristic=heuristic, max_iter_factor=max_iter_factor,
+        expand=expand, search_mode=search_mode, pd_dtype=pd_dtype,
+        hop_repair=hop_repair, debug_iters=debug_iters)
+    if debug_iters:
+        sel_d, sel_p, search_iters = res
+    else:
+        sel_d, sel_p = res
+    cres = commit_core(adj, adjd, wave_pids, points, sel_d, sel_p,
+                       metric_name=metric_name, m0=m0,
+                       heuristic=heuristic, rev_chunk=rev_chunk,
+                       pend_cap=pend_cap, rev_rounds=rev_rounds,
+                       pd_dtype=pd_dtype, debug_iters=debug_iters)
+    if debug_iters:
+        adj, adjd, n_dropped, rounds_run = cres
+        return adj, adjd, n_dropped, search_iters, rounds_run
+    return cres
 
 
 _wave_step = functools.partial(
@@ -596,6 +658,22 @@ _wave_step = functools.partial(
                      "rev_rounds", "search_mode", "pd_dtype", "hop_repair",
                      "debug_iters"),
     donate_argnames=("adj", "adjd"))(wave_step_core)
+
+#: Split wave programs (scan modes at default settings): the search
+#: half never reads the adjacency, the commit half never reads the scan
+#: operands — two programs whose individual HBM plans stay well under
+#: the monolith's (which OOM'd a v5e at 10M x 96).
+_search_step = functools.partial(
+    jax.jit,
+    static_argnames=("metric_name", "efc", "m", "m0", "heuristic",
+                     "max_iter_factor", "expand", "search_mode",
+                     "pd_dtype", "hop_repair", "debug_iters"))(
+    search_select_core)
+_commit_step = functools.partial(
+    jax.jit,
+    static_argnames=("metric_name", "m0", "heuristic", "rev_chunk",
+                     "pend_cap", "rev_rounds", "pd_dtype", "debug_iters"),
+    donate_argnames=("adj", "adjd"))(commit_core)
 
 
 def _resolve_search_mode(cfg, metric_name) -> str:
@@ -1063,6 +1141,11 @@ def build_graph(points, config: Config, progress=None,
 
     main_ops, flat_ops = _scan_operands(dev_points, search_mode,
                                         metric_name, exact_prefix)
+    # split search/commit wave programs whenever the search half cannot
+    # need the adjacency: scan-mode candidates, no hop repair, no
+    # extend_candidates (all three are the defaults)
+    split_waves = (search_mode.startswith("scan") and _hop_of(cfg) == 0
+                   and not (heur is not None and heur[0]))
 
     # ---- checkpoint/resume ------------------------------------------------
     resume_li, resume_s, waves_done = -1, -1, 0
@@ -1105,18 +1188,40 @@ def build_graph(points, config: Config, progress=None,
                 mode_w, (wcodes, wscales, wnorms) = "scan", flat_ops
             else:
                 mode_w, (wcodes, wscales, wnorms) = search_mode, main_ops
-            adj, adjd, dd = _wave_step(
-                adj, adjd, jnp.asarray(wave), dev_points, stacked,
-                jnp.asarray(offsets), n_upper, jnp.int32(zero_links),
-                wcodes, wscales, wnorms,
-                metric_name=metric_name, efc=_pool_of(cfg, mode_w),
-                m=m, m0=m0, heuristic=heur,
-                rev_chunk=8192, pend_cap=pend_cap, rev_rounds=rev_rounds,
-                max_iter_factor=cfg.max_iter_factor,
-                expand=getattr(cfg, "construct_expand", 1),
-                search_mode=mode_w,
-                pd_dtype=getattr(cfg, "select_pd_dtype", "bfloat16"),
-                hop_repair=_hop_of(cfg))
+            pd_dt = getattr(cfg, "select_pd_dtype", "bfloat16")
+            if split_waves and mode_w.startswith("scan"):
+                # scan-mode search never reads adj -> run search and
+                # commit as separate programs so neither plan holds the
+                # adjacency staging copies AND the scan operands at once
+                # (the monolith OOMs a 16 GB chip at 10M x 96)
+                sel_d, sel_p = _search_step(
+                    jnp.asarray(wave), dev_points, None, None,
+                    n_upper, jnp.int32(zero_links),
+                    wcodes, wscales, wnorms, None,
+                    metric_name=metric_name, efc=_pool_of(cfg, mode_w),
+                    m=m, m0=m0, heuristic=heur,
+                    max_iter_factor=cfg.max_iter_factor,
+                    expand=getattr(cfg, "construct_expand", 1),
+                    search_mode=mode_w, pd_dtype=pd_dt, hop_repair=0)
+                adj, adjd, dd = _commit_step(
+                    adj, adjd, jnp.asarray(wave), dev_points,
+                    sel_d, sel_p,
+                    metric_name=metric_name, m0=m0, heuristic=heur,
+                    rev_chunk=8192, pend_cap=pend_cap,
+                    rev_rounds=rev_rounds, pd_dtype=pd_dt)
+            else:
+                adj, adjd, dd = _wave_step(
+                    adj, adjd, jnp.asarray(wave), dev_points, stacked,
+                    jnp.asarray(offsets), n_upper, jnp.int32(zero_links),
+                    wcodes, wscales, wnorms,
+                    metric_name=metric_name, efc=_pool_of(cfg, mode_w),
+                    m=m, m0=m0, heuristic=heur,
+                    rev_chunk=8192, pend_cap=pend_cap,
+                    rev_rounds=rev_rounds,
+                    max_iter_factor=cfg.max_iter_factor,
+                    expand=getattr(cfg, "construct_expand", 1),
+                    search_mode=mode_w, pd_dtype=pd_dt,
+                    hop_repair=_hop_of(cfg))
             drops = drops + dd
             done += w
             waves_done += 1

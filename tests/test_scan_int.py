@@ -221,3 +221,40 @@ def test_probe_full_matches_production_kernel():
     for probe in ("mm", "min"):  # truncated probes must at least run
         out = fused_scan_probe(qc, w2, codes_t, probe=probe, **kw)
         assert np.asarray(out).shape == np.asarray(want).shape
+
+
+def test_sel_group_recall_matches_full_selection(data):
+    """Grouped-min pre-selection (sel_group) trades the full-width
+    approx_min_k for a bandwidth-bound column-group min; candidates are
+    the top-ef distinct-group columns, so recall must track the full
+    selection closely (an id-decode bug would crater it instead)."""
+    pts, queries, gt = data
+    scan = ScanIndex(pts)
+    _, p_full = scan.search_batch(queries, fused="bucket_pack", **KW)
+    _, p_grp = scan.search_batch(queries, fused="bucket_pack",
+                                 sel_group=8, **KW)
+    r_full, r_grp = _recall(p_full, gt), _recall(p_grp, gt)
+    assert r_full >= 0.95
+    assert r_grp >= r_full - 0.02, f"grouped {r_grp} vs full {r_full}"
+
+
+def test_sel_group_respects_filter(data):
+    pts, queries, gt = data
+    scan = ScanIndex(pts)
+    mask = np.zeros(len(pts), bool)
+    mask[: len(pts) // 2] = True
+    _, p = scan.search_batch(queries, filter_mask=mask,
+                             fused="bucket_pack", sel_group=8, **KW)
+    got = np.asarray(p)
+    assert (got[got >= 0] < len(pts) // 2).all()
+
+
+def test_sel_group_falls_back_when_too_coarse(data):
+    """ef exceeding the group count must silently fall back to the
+    full-width selection rather than truncating the beam."""
+    pts, queries, gt = data
+    scan = ScanIndex(pts)
+    # 2048 columns / 512-wide groups = 4 groups < ef=32 -> fallback
+    _, p = scan.search_batch(queries, fused="bucket_pack",
+                             sel_group=512, **KW)
+    assert _recall(p, gt) >= 0.95

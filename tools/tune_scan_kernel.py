@@ -132,6 +132,22 @@ def main():
                 + nidx % ct_
             return jnp2.where(keys < PACK_THRESH, bi, -1)
 
+        @jax.jit
+        def selgrp(od_):  # grouped-min pre-reduction (sel_group=8)
+            g = 8
+            bq = od_.shape[0]
+            og = od_.reshape(bq, od_.shape[1] // g, g)
+            gmin = og.min(axis=2)
+            _, gidx = jax.lax.approx_min_k(
+                jax.lax.bitcast_convert_type(gmin, jnp2.float32), ef_)
+            cand = jnp2.take_along_axis(og, gidx[:, :, None], axis=1)
+            j = jnp2.argmin(cand, axis=2).astype(jnp2.int32)
+            keys = jnp2.min(cand, axis=2)
+            nidx = gidx * g + j
+            bi_ = (nidx // ct_) * cb_ + (keys & (ls_ - 1)) * ct_ \
+                + nidx % ct_
+            return jnp2.where(keys < PACK_THRESH, bi_, -1)
+
         bi = sel(od)
         force_ready(bi)
         metric = resolve("sqeuclidean")
@@ -145,10 +161,29 @@ def main():
         stages = [("kern", lambda q: kern(None)),
                   ("sel_bitcast", lambda q: sel(od)),
                   ("sel_f32cvt", lambda q: selcvt(od)),
+                  ("sel_group8", lambda q: selgrp(od)),
                   ("rerank", lambda q: rr(q, bi)),
                   ("end2end", lambda q: idx.search_batch(
                       q, k=10, ef=ef_, fused="bucket_pack", lsub=ls_,
-                      qb=qb_, cb=cb_))]
+                      qb=qb_, cb=cb_)),
+                  ("e2e_group8", lambda q: idx.search_batch(
+                      q, k=10, ef=ef_, fused="bucket_pack", lsub=ls_,
+                      qb=qb_, cb=cb_, sel_group=8))]
+        # recall checks: grouped selection loses a candidate only when
+        # two true top-ef columns share a group — quantify it
+        from instant_distance_tpu.models.brute import BruteForce
+        gt = np.asarray(BruteForce(np.asarray(idx.points)[:131072])
+                        .search_batch(np.asarray(queries)[:512], 10)[1])
+        sub = ScanIndex(np.asarray(idx.points)[:131072])
+        for sg_ in (0, 8, 16):
+            _, pi = sub.search_batch(queries[:512], k=10, ef=ef_,
+                                     fused="bucket_pack", lsub=ls_,
+                                     qb=256, cb=cb_, sel_group=sg_)
+            rec = float(np.mean([len(set(np.asarray(pi)[r])
+                                     & set(gt[r])) / 10
+                                 for r in range(512)]))
+            print(f"sel_group={sg_:2d} recall@10(131k)={rec:.4f}",
+                  flush=True)
         for r in range(int(os.environ.get("TUNE_ROUNDS", 3))):
             for name, fn in stages:
                 t = time_fn(fn, queries, warmup=1, iters=8)
