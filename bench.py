@@ -289,9 +289,20 @@ def main() -> None:
     tuned = os.environ.get("INSTANT_TPU_BENCH_FUSED_TUNED")
     if tuned:
         for part in tuned.split(";"):
-            name, rest = part.split(":")
-            kw = dict(x.split("=") for x in rest.split(","))
-            fused_kw[name].update({k_: int(v) for k_, v in kw.items()})
+            try:
+                name, rest = part.split(":")
+                kw = dict(x.split("=") for x in rest.split(","))
+                override = {k_: int(v) for k_, v in kw.items()}
+            except ValueError:
+                print(f"[bench] skipping malformed FUSED_TUNED segment "
+                      f"{part!r} (want name:k=v,k=v)", file=sys.stderr)
+                continue
+            if name not in fused_kw:
+                print(f"[bench] skipping unknown FUSED_TUNED variant "
+                      f"{name!r} (known: {sorted(fused_kw)})",
+                      file=sys.stderr)
+                continue
+            fused_kw[name].update(override)
     fused_res = {}
     if scan is not None and scan_qps:
         for name, fkw in fused_kw.items():

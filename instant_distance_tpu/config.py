@@ -108,7 +108,9 @@ class Config:
     #: "auto" = scan for named metrics, beam otherwise.
     construct_mode: str = "auto"
     #: Width of one reverse-edge commit round: pending additions per
-    #: target re-selected together (None -> min(m0, 64)).
+    #: target re-selected together (None -> min(m0, 32); see
+    #: ops/construct._rev_params — narrower rounds are cheaper per pass
+    #: and the auto round loop keeps the commit lossless regardless).
     pend_cap: Optional[int] = None
     #: Reverse-commit rounds per wave.  None/0 = auto (LOSSLESS): rounds
     #: of pend_cap nearest-first additions per target, re-selected

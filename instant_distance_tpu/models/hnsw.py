@@ -42,12 +42,26 @@ class Neighbor:
     """One search result (reference py src/lib.rs:327-357).
 
     ``value`` is None for plain ``Hnsw`` results, matching the binding's
-    ``Neighbor { value: py.None() }`` behavior.
+    ``Neighbor { value: py.None() }`` behavior.  ``point`` resolves the
+    point vector itself lazily (reference ``Item.point`` /
+    ``MapItem.point``, instant-distance/src/lib.rs:399-413) — lazy so
+    iterating results doesn't pay a device->host readback per hit.
     """
 
     distance: float
     pid: int
     value: Any = None
+    #: Index backing the lazy ``point`` lookup (not part of repr/eq).
+    _index: Any = dataclasses.field(default=None, repr=False,
+                                    compare=False)
+
+    @property
+    def point(self) -> Optional[np.ndarray]:
+        """The result's point vector (``index[pid]``), or None when the
+        result was built without a backing index."""
+        if self._index is None:
+            return None
+        return self._index[self.pid]
 
     def __repr__(self) -> str:
         if self.value is None:
@@ -97,7 +111,8 @@ class Search:
             if pid >= 0:
                 break
         value = self._map.values[pid] if self._map is not None else None
-        return Neighbor(dist, pid, value)
+        return Neighbor(dist, pid, value,
+                        self._map if self._map is not None else self._index)
 
     def __len__(self) -> int:
         if self._pids is None:
@@ -285,7 +300,7 @@ class Hnsw:
         pid = int(search._pids[i])
         if pid < 0:
             return None
-        return Neighbor(float(search._dists[i]), pid)
+        return Neighbor(float(search._dists[i]), pid, None, self)
 
     # -- persistence -------------------------------------------------------
     def dump(self, fname: str, format: str = "native") -> None:

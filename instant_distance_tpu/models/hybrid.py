@@ -78,6 +78,11 @@ class HybridIndex:
                     np.asarray(index.zero),
                     [np.asarray(l) for l in index.layers],
                     metric, index.config.m)
+        # Snapshot size at lift time: later Hnsw.add/extend mutates the
+        # device graph but not the lifted host copy — _host_stale()
+        # routes such calls to the device instead of silently serving a
+        # graph missing the new points.
+        self._host_n = len(index) if self._host is not None else 0
 
     @property
     def host_available(self) -> bool:
@@ -85,6 +90,14 @@ class HybridIndex:
 
     def _has_tombstones(self) -> bool:
         return getattr(self.index, "_alive", None) is not None
+
+    def _host_stale(self) -> bool:
+        """True when the index grew/shrank after the one-time host lift
+        (Hnsw.add/extend): the host copy would miss the new points."""
+        try:
+            return len(self.index) != self._host_n
+        except TypeError:
+            return False
 
     def search_batch(self, queries, k: int = 10,
                      ef: Optional[int] = None, filter_mask=None):
@@ -100,7 +113,8 @@ class HybridIndex:
         use_host = (self._host is not None
                     and q.shape[0] < self.threshold
                     and filter_mask is None
-                    and not self._has_tombstones())
+                    and not self._has_tombstones()
+                    and not self._host_stale())
         if use_host:
             d, i = self._host.search_batch(q, ef=max(ef_, k), k=k,
                                            n_threads=self.host_threads)
@@ -142,11 +156,29 @@ class HybridIndex:
                                     n_threads=1)
             lat.append(time.perf_counter() - t0)
         host_s = float(np.median(lat))
-        # tpu: per-batch time at the sample's own batch size
+        # tpu: small batches are dispatch-bound, large ones
+        # throughput-bound — a single full-batch measurement would
+        # overestimate the breakeven and route mid-size batches to the
+        # slower host path.  Model t(B) = intercept + slope*B from two
+        # batch sizes; host wins while host_s*B < intercept + slope*B.
         from ..utils.metrics import time_fn
 
-        t = time_fn(lambda x: self.tpu_index.search_batch(
-                        x, k=k, ef=ef_), q, warmup=2, iters=iters)
-        tpu_batch_s = t.per_call_s
-        self.threshold = max(1, int(np.ceil(tpu_batch_s / host_s)))
+        def tpu_s(batch):
+            return time_fn(lambda x: self.tpu_index.search_batch(
+                               x, k=k, ef=ef_), batch,
+                           warmup=2, iters=iters).per_call_s
+
+        b_small = min(32, len(q))
+        t_small = tpu_s(q[:b_small])
+        if len(q) > b_small:
+            t_full = tpu_s(q)
+            slope = max(0.0, (t_full - t_small) / (len(q) - b_small))
+        else:
+            slope = 0.0
+        intercept = max(0.0, t_small - slope * b_small)
+        if host_s <= slope:       # host beats TPU marginal cost: always host
+            self.threshold = 1 << 20
+        else:
+            self.threshold = max(1, int(np.ceil(
+                intercept / (host_s - slope))))
         return self.threshold

@@ -185,6 +185,47 @@ def _pend_window(utgt, uid_s, rank, dist, src, valid, pend_cap: int, r: int):
 
 
 # ---------------------------------------------------------------------------
+# lane-packed adjacency rows
+# ---------------------------------------------------------------------------
+# TPU tiled layouts pad an array's minor dim to 128 lanes, so an
+# [N+1, 64] int32 adjacency physically occupies 2x its logical bytes —
+# and at 10M points the commit program's staging copies of adjacency +
+# distance cache alone blew a v5e's 15.75 GB HBM (round-4 OOM log).
+# Scan-mode builds therefore store `adj`/`adjd` lane-packed:
+# `pk = 128 // m0` logical rows per 128-lane physical row
+# ([ceil((N+1)/pk), pk*m0]), making the stored form exactly the compute
+# form (zero padding, zero relayout copies).  Logical row i lives at
+# [i // pk, (i % pk) * m0 : (i % pk + 1) * m0]; a plain row-major
+# reshape to [-1, m0] is the unpack.
+
+def _pk_factor(m0: int) -> int:
+    """Rows per 128-lane physical row (1 = unpacked)."""
+    return 128 // m0 if 128 % m0 == 0 and m0 < 128 else 1
+
+
+def _pk_row_get(a, rows, pk: int, m0: int):
+    """Gather logical rows [R] -> [R, m0] from a (possibly packed) a."""
+    if pk == 1:
+        return a[rows]
+    full = a[rows // pk]                                  # [R, pk*m0]
+    cols = (rows % pk)[:, None] * m0 + jnp.arange(m0)[None, :]
+    return jnp.take_along_axis(full, cols, axis=1)
+
+
+def _pk_row_set(a, rows, vals, pk: int, m0: int):
+    """Scatter [R, m0] rows into logical positions ``rows``.
+
+    Packed form writes element-wise at (row // pk, col) — two logical
+    rows sharing a physical row write disjoint columns, so intra-batch
+    conflicts are impossible for distinct pids (duplicate sink-row
+    writes carry don't-care values, as in the unpacked path)."""
+    if pk == 1:
+        return a.at[rows].set(vals)
+    cols = (rows % pk)[:, None] * m0 + jnp.arange(m0)[None, :]
+    return a.at[(rows // pk)[:, None], cols].set(vals)
+
+
+# ---------------------------------------------------------------------------
 # the jitted wave step
 # ---------------------------------------------------------------------------
 
@@ -277,8 +318,11 @@ def search_select_core(wave_pids, points, stacked, offsets, n_upper,
         # (ops/scan_kernel.fused_scan_bucket_int_packed: ONE int32 output
         # at lsub=64 — 1/16 the candidate-array HBM traffic of a
         # per-point-scale f32 bucket scan at lsub=8; the shared-scale
-        # rank noise and the wider stride groups are both repaired by
-        # the exact rerank below + the hop expansion that follows)
+        # rank noise is repaired by the exact rerank below, and the
+        # wider stride groups' losses are absorbed by the deep default
+        # candidate pool (3*efc, _pool_of) — the measured mechanism.
+        # Hop expansion (construct_hop_repair, default 0) is an
+        # optional extra-repair knob, not part of the default path.)
         from .scan_kernel import (PACK_THRESH,
                                   fused_scan_bucket_int_packed, pack_w2)
 
@@ -477,26 +521,33 @@ def search_select_core(wave_pids, points, stacked, offsets, n_upper,
 def commit_core(adj, adjd, wave_pids, points, sel_d, sel_p, *,
                 metric_name, m0: int, heuristic, rev_chunk: int,
                 pend_cap: int, rev_rounds: int = 4,
-                pd_dtype: str = "bfloat16", debug_iters: bool = False):
+                pd_dtype: str = "bfloat16", pk: int = 1,
+                n_points: int = -1, debug_iters: bool = False):
     """Commit one wave's selected edges: forward rows + grouped reverse
     re-selection (lib.rs:481-517).
 
     ``adj``/``adjd`` are [N+1, m0] (row N is the padded-lane write sink)
     and should be DONATED by the jit wrapper — the update is in place.
+    With ``pk > 1`` they are lane-packed instead —
+    [ceil((N+1)/pk), pk*m0] with pk logical rows per 128-lane physical
+    row (see the ``_pk_*`` helpers above; ``n_points`` supplies N, which
+    the packed shape no longer determines) — so a 64-wide adjacency at
+    10M points doesn't pay TPU's 2x minor-dim padding on storage or on
+    the program's staging copies.
     Returns ``(adj, adjd, n_dropped)`` (``+ rounds_run`` when
     ``debug_iters``); ``n_dropped`` counts reverse-edge additions lost
     to the ``pend_cap`` overflow (see ``_group_reverse_edges``) —
     builders accumulate it and warn.
     """
     metric = resolve(metric_name)
-    n = adj.shape[0] - 1
+    n = n_points if n_points >= 0 else adj.shape[0] - 1
     w = wave_pids.shape[0]
     wvalid = wave_pids >= 0
 
     # --- commit forward rows (node.set(i, pid), lib.rs:516) -------------
     rows = jnp.where(wvalid, wave_pids, n)
-    adj = adj.at[rows].set(sel_p)
-    adjd = adjd.at[rows].set(sel_d.astype(adjd.dtype))
+    adj = _pk_row_set(adj, rows, sel_p, pk, m0)
+    adjd = _pk_row_set(adjd, rows, sel_d.astype(adjd.dtype), pk, m0)
 
     # --- group + commit reverse edges (lib.rs:481-515) ------------------
     # Grouping sorts the W*m0 edges by (target, distance); each target's
@@ -521,9 +572,10 @@ def commit_core(adj, adjd, wave_pids, points, sel_d, sel_p, *,
     def rev_chunk_fn(adj, adjd, args):
         ut, pd_, pp_ = args                                # [RC], [RC, A]
         ut_c = jnp.clip(ut, 0)
-        row_p = adj[ut_c]
+        row_p = _pk_row_get(adj, ut_c, pk, m0)
         row_d = jnp.where(row_p >= 0,
-                          adjd[ut_c].astype(jnp.float32), jnp.inf)
+                          _pk_row_get(adjd, ut_c, pk, m0)
+                          .astype(jnp.float32), jnp.inf)
         comb_p = jnp.concatenate([row_p, pp_], axis=1)
         comb_d = jnp.concatenate(
             [row_d, jnp.where(pp_ >= 0, pd_, jnp.inf)], axis=1)
@@ -586,8 +638,9 @@ def commit_core(adj, adjd, wave_pids, points, sel_d, sel_p, *,
             pp_ = jax.lax.dynamic_slice(pp_p, (off, 0), (rc, pend_cap))
             new_d, new_p = rev_chunk_fn(adj, adjd, (ut, pd_, pp_))
             trows = jnp.where(ut >= 0, ut, n)
-            adj = adj.at[trows].set(new_p)
-            adjd = adjd.at[trows].set(new_d.astype(adjd.dtype))
+            adj = _pk_row_set(adj, trows, new_p, pk, m0)
+            adjd = _pk_row_set(adjd, trows, new_d.astype(adjd.dtype),
+                               pk, m0)
             return ci + 1, adj, adjd
 
         _, adj, adjd = jax.lax.while_loop(
@@ -672,7 +725,8 @@ _search_step = functools.partial(
 _commit_step = functools.partial(
     jax.jit,
     static_argnames=("metric_name", "m0", "heuristic", "rev_chunk",
-                     "pend_cap", "rev_rounds", "pd_dtype", "debug_iters"),
+                     "pend_cap", "rev_rounds", "pd_dtype", "pk",
+                     "n_points", "debug_iters"),
     donate_argnames=("adj", "adjd"))(commit_core)
 
 
@@ -799,7 +853,7 @@ def _pool_of(cfg, search_mode: str) -> int:
     """Effective candidate-pool size for wave searches.
 
     Beam mode uses ``ef_construction`` verbatim (reference parity,
-    lib.rs:458-461).  Scan modes default to ``2 * ef_construction``:
+    lib.rs:458-461).  Scan modes default to ``3 * ef_construction``:
     pool depth is nearly free for the scan (the kernel scores every
     inserted point regardless of efc) and Algorithm 4 selects
     measurably better edges from a deeper pool — on 1M clustered 128-d
@@ -1082,13 +1136,21 @@ def build_graph(points, config: Config, progress=None,
     # The key excludes the seed: an entropy-seeded build (seed=None)
     # adopts the checkpoint's stored seed on resume, while an explicit
     # seed must match or the checkpoint is ignored.
-    ckpt_key = f"v6:{n}:{pts.shape[1]}:{cfg.ef_construction}:" \
+    # split search/commit wave programs whenever the search half cannot
+    # need the adjacency: scan-mode candidates, no hop repair, no
+    # extend_candidates (all three are the defaults); those builds also
+    # store the adjacency lane-packed (pk > 1, see _pk_* helpers)
+    split_waves = (search_mode.startswith("scan") and _hop_of(cfg) == 0
+                   and not (heur is not None and heur[0]))
+    pk = _pk_factor(m0) if split_waves else 1
+
+    ckpt_key = f"v7:{n}:{pts.shape[1]}:{cfg.ef_construction}:" \
                f"{m}:{cfg.ml}:{heur}:{cfg.wave_size}:{pend_cap}:" \
                f"{rev_rounds}:{cfg.max_iter_factor}:" \
                f"{getattr(cfg, 'construct_expand', 1)}:{search_mode}:" \
                f"{getattr(cfg, 'select_pd_dtype', 'bfloat16')}:" \
                f"{exact_prefix}:{_hop_of(cfg)}:" \
-               f"{_pool_of(cfg, search_mode)}"
+               f"{_pool_of(cfg, search_mode)}:{pk}"
     seed = cfg.seed
     ckpt_state = None
     if checkpoint is not None:
@@ -1119,8 +1181,9 @@ def build_graph(points, config: Config, progress=None,
     ranges = [(top - i, max(c - s, 1), c) for i, (s, c) in enumerate(sizes)]
 
     dev_points = jnp.asarray(pts)
-    adj = jnp.full((n + 1, m0), -1, jnp.int32)
-    adjd = jnp.full((n + 1, m0), jnp.inf,
+    prow = (n + 1 + pk - 1) // pk  # physical adjacency rows (pk=1: n+1)
+    adj = jnp.full((prow, pk * m0), -1, jnp.int32)
+    adjd = jnp.full((prow, pk * m0), jnp.inf,
                     jnp.dtype(getattr(cfg, "dist_cache_dtype", "float32")))
 
     # stacked upper-snapshot buffer: filled top layer first as layers
@@ -1141,11 +1204,6 @@ def build_graph(points, config: Config, progress=None,
 
     main_ops, flat_ops = _scan_operands(dev_points, search_mode,
                                         metric_name, exact_prefix)
-    # split search/commit wave programs whenever the search half cannot
-    # need the adjacency: scan-mode candidates, no hop repair, no
-    # extend_candidates (all three are the defaults)
-    split_waves = (search_mode.startswith("scan") and _hop_of(cfg) == 0
-                   and not (heur is not None and heur[0]))
 
     # ---- checkpoint/resume ------------------------------------------------
     resume_li, resume_s, waves_done = -1, -1, 0
@@ -1208,7 +1266,8 @@ def build_graph(points, config: Config, progress=None,
                     sel_d, sel_p,
                     metric_name=metric_name, m0=m0, heuristic=heur,
                     rev_chunk=8192, pend_cap=pend_cap,
-                    rev_rounds=rev_rounds, pd_dtype=pd_dt)
+                    rev_rounds=rev_rounds, pd_dtype=pd_dt,
+                    pk=pk, n_points=n)
             else:
                 adj, adjd, dd = _wave_step(
                     adj, adjd, jnp.asarray(wave), dev_points, stacked,
@@ -1237,7 +1296,11 @@ def build_graph(points, config: Config, progress=None,
                     stacked, (int(offsets[li]) // pack, 0),
                     (_pal(end) // pack, m * pack)).reshape(-1, m)[:end]
             else:
-                snap = adj[:end, :m]
+                if pk == 1:
+                    snap = adj[:end, :m]
+                else:
+                    snap = _pk_row_get(adj, jnp.arange(end), pk,
+                                       m0)[:, :m]
                 end_p = _pal(end)
                 snap_p = jnp.pad(snap, ((0, end_p - end), (0, 0)),
                                  constant_values=-1)
@@ -1255,5 +1318,9 @@ def build_graph(points, config: Config, progress=None,
     layers.reverse()  # store as reference does: layers[l-1] = level l
     reverse_drops = int(drops)  # one device readback, post-pipeline
     _warn_reverse_drops(reverse_drops, pend_cap, rev_rounds)
+    if pk > 1:
+        # unpack to the BuiltGraph contract ([N, m0]); row-major reshape
+        # is the exact inverse of the packed layout (see _pk_* helpers)
+        adj = adj.reshape(-1, m0)
     return BuiltGraph(dev_points, adj[:n], layers, ids, cfg,
                       reverse_drops=reverse_drops)

@@ -102,6 +102,63 @@ def test_iter_getitem_get():
     assert hnsw.get(10**6, search) is None
 
 
+def test_config_field_parity():
+    """Field-for-field sweep of the reference's Python Config/Heuristic
+    surface (instant-distance-py/src/lib.rs:216-325): same names, same
+    defaults, all get/set-able.  TPU-only extras are allowed on top but
+    the reference's five Config fields and two Heuristic fields must
+    exist verbatim."""
+    import math
+
+    cfg = Config()
+    # Config fields (py src/lib.rs:218-239) + defaults from
+    # Builder::default().into_parts() (lib.rs:101-113)
+    assert cfg.ef_search == 100
+    assert cfg.ef_construction == 100
+    assert cfg.ml == pytest.approx(1.0 / math.log(32))
+    assert cfg.seed is None        # None -> entropy, like seed from rng
+    assert cfg.heuristic == Heuristic(extend_candidates=False,
+                                      keep_pruned=True)
+    # all five are settable attributes (pyo3 get/set parity)
+    for field, val in [("ef_search", 7), ("ef_construction", 9),
+                       ("ml", 0.5), ("seed", 3), ("heuristic", None)]:
+        setattr(cfg, field, val)
+        assert getattr(cfg, field) == val
+    # Heuristic fields (py src/lib.rs:277-287)
+    h = Heuristic()
+    assert h.extend_candidates is False and h.keep_pruned is True
+    # Neighbor surface (py src/lib.rs:327-341): distance, pid, value
+    from instant_distance_tpu.models.hnsw import Neighbor
+
+    nb = Neighbor(1.5, 3, "v")
+    assert (nb.distance, nb.pid, nb.value) == (1.5, 3, "v")
+    assert "Neighbor" in repr(nb)
+    assert "Item" in repr(Neighbor(1.5, 3))  # value-less repr form
+
+
+def test_neighbor_point():
+    """Results carry the point itself (reference Item.point/MapItem.point,
+    instant-distance/src/lib.rs:399-413), resolved lazily."""
+    rng = np.random.default_rng(14)
+    points = rng.random((64, 8), dtype=np.float32)
+    values = [f"v{i}" for i in range(64)]
+    map_ = HnswMap.build(points, values, Config(seed=14))
+    search = Search()
+    first = next(iter(map_.search(points[5], search)))
+    np.testing.assert_allclose(np.asarray(first.point), points[5],
+                               rtol=1e-6)
+    # plain Hnsw path and the get() accessor resolve too
+    hnsw, ids = Hnsw.build(points, Config(seed=14))
+    hnsw.search(points[5], search)
+    item = hnsw.get(0, search)
+    np.testing.assert_allclose(np.asarray(item.point), points[5],
+                               rtol=1e-6)
+    # detached Neighbors (no backing index) return None, not crash
+    from instant_distance_tpu.models.hnsw import Neighbor
+
+    assert Neighbor(0.0, 1).point is None
+
+
 def test_empty_index_search():
     hnsw, ids = Hnsw.build(np.zeros((0, 4), np.float32), Config(seed=1))
     search = Search()
