@@ -18,6 +18,7 @@ import numpy as np
 
 from ..config import Config
 from ..ops import packed as pk
+from ..ops import walk_kernel as wk
 from ..ops.distance import resolve
 from .hnsw import Hnsw, HnswMap
 
@@ -118,6 +119,79 @@ class PackedHnsw:
             cached = jnp.asarray(self.points[:s], jnp.bfloat16)
             self._seed_cache = cached
         return cached
+
+    # -- fused walk-kernel engine -------------------------------------------
+    def _walk_operands(self):
+        """(codes [N, K, Dp] int8, meta [N, 2*Kp] i32, kp, d_pad) for the
+        Pallas walk kernel (ops/walk_kernel.py), built once and cached.
+        Codes are zero-padded to a 128-lane dim (a zero column adds 0 to
+        every squared-L2 term, so distances are unchanged)."""
+        cached = getattr(self, "_walk_cache", None)
+        if cached is None:
+            ids, codes, scales = self.zero_pack
+            d = codes.shape[2]
+            dp = ((d + 127) // 128) * 128
+            if dp != d:
+                codes = jnp.pad(codes, ((0, 0), (0, 0), (0, dp - d)))
+            meta_np, kp = wk.pack_walk_meta(np.asarray(ids),
+                                            np.asarray(scales))
+            cached = (codes, jnp.asarray(meta_np), kp, dp)
+            self._walk_cache = cached
+        return cached
+
+    def search_batch_kernel(self, queries, k: Optional[int] = None,
+                            ef: Optional[int] = None, rerank: bool = True,
+                            entry_seeds: Optional[int] = None,
+                            expand: Optional[int] = None,
+                            bq: int = 128):
+        """Batched query through the fused Pallas graph-walk kernel.
+
+        Same traversal semantics as ``search_batch`` (the kernel is
+        element-equivalent to the XLA beam — tests/test_walk_kernel.py);
+        requires ``entry_seeds`` > 0 (the seeded MXU entry is the tuned
+        serving mode) and supports ``expand`` in {1, 2}.  Result filters/
+        tombstones are not routed here — use ``search_batch``.
+        """
+        cfg = self.config
+        if self._alive is not None:
+            raise ValueError("kernel engine does not support tombstones; "
+                             "use search_batch")
+        queries = jnp.asarray(queries, jnp.float32)
+        if queries.ndim == 1:
+            queries = queries[None]
+        ef = ef or cfg.ef_search
+        k = k or min(10, ef)
+        e_n = expand if expand is not None else min(
+            2, getattr(cfg, "search_expand", 2))
+        seeds = self._seeds(entry_seeds)
+        if seeds is None:
+            raise ValueError("kernel engine needs entry_seeds > 0")
+        codes, meta, kp, dp = self._walk_operands()
+        b0 = queries.shape[0]
+        b = ((b0 + bq - 1) // bq) * bq
+        qp = queries
+        if dp != queries.shape[1]:
+            qp = jnp.pad(qp, ((0, 0), (0, dp - queries.shape[1])))
+        if b != b0:
+            qp = jnp.pad(qp, ((0, b - b0), (0, 0)))
+        n_init = min(ef, seeds.shape[0])
+        sd, sp = pk.seed_entry(qp[:, :seeds.shape[1]], seeds, n_init)
+        bd0 = jnp.full((b, ef), jnp.inf, jnp.float32)
+        bd0 = jax.lax.dynamic_update_slice(bd0, sd, (0, 0))
+        bp0 = jnp.full((b, ef), -1, jnp.int32)
+        bp0 = jax.lax.dynamic_update_slice(bp0, sp, (0, 0))
+        bd, bp = wk.walk_search(
+            qp, bd0, bp0, codes, meta, kp=kp, expand=e_n, ef=ef,
+            max_iters=cfg.max_iter_factor * ef + 16, bq=bq)
+        bd, bp = bd[:b0], bp[:b0]
+        if not rerank:
+            return bd[:, :k], bp[:, :k]
+        metric = resolve(cfg.metric if isinstance(cfg.metric, str)
+                         else cfg.metric)
+        exact = metric.gathered(queries, self.points[jnp.clip(bp, 0)])
+        exact = jnp.where(bp >= 0, exact, jnp.inf)
+        sd_, sp_ = jax.lax.sort((exact, bp), dimension=1, num_keys=2)
+        return sd_[:, :k], sp_[:, :k]
 
     def search_batch(self, queries, k: Optional[int] = None,
                      ef: Optional[int] = None, rerank: bool = True,

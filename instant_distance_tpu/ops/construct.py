@@ -1096,6 +1096,38 @@ class BuiltGraph:
         self.reverse_drops = reverse_drops
 
 
+@functools.partial(jax.jit, static_argnames=("rows",))
+def _slice_rows(x, i, rows: int):
+    return jax.lax.dynamic_slice_in_dim(x, i, rows, axis=0)
+
+
+def _np_chunked(x, max_bytes: int = 1 << 28):
+    """Device -> host readback in bounded row chunks.
+
+    ``np.asarray(big_device_array)`` makes the runtime linearize the
+    tiled layout through a full-size device staging buffer — at 10M x 96
+    the adjacency alone is ~2.6 GB and the first mid-build checkpoint
+    OOM'd a near-full 16 GB chip exactly there.  Slicing with ONE
+    dynamic-slice program (dynamic start -> no per-chunk recompiles
+    through the remote-compile tunnel) keeps the transient device
+    footprint to one chunk.
+    """
+    x = jnp.asarray(x)
+    if x.ndim == 0 or x.nbytes <= max_bytes:
+        return np.asarray(x)
+    row_bytes = max(1, x.nbytes // x.shape[0])
+    rows = max(1, min(x.shape[0], max_bytes // row_bytes))
+    out = np.empty(x.shape, np.asarray(x[:1]).dtype)
+    i = 0
+    while i < x.shape[0]:
+        j = min(i + rows, x.shape[0])
+        # fixed-size slice (clamped start) -> one compiled program
+        s = int(min(i, x.shape[0] - rows))
+        out[s:s + rows] = np.asarray(_slice_rows(x, jnp.int32(s), rows))
+        i = j
+    return out
+
+
 def build_graph(points, config: Config, progress=None,
                 checkpoint: Optional[str] = None,
                 checkpoint_every: int = 64) -> BuiltGraph:
@@ -1222,8 +1254,8 @@ def build_graph(points, config: Config, progress=None,
         tmp = checkpoint + ".tmp"
         with open(tmp, "wb") as f:
             np.savez(f, key=np.array(ckpt_key), seed=np.uint64(seed),
-                     adj=np.asarray(adj),
-                     adjd=np.asarray(adjd), stacked=np.asarray(stacked),
+                     adj=_np_chunked(adj),
+                     adjd=_np_chunked(adjd), stacked=_np_chunked(stacked),
                      offsets=offsets, write_off=write_off, li=li, s=s,
                      drops=int(drops))
         os.replace(tmp, checkpoint)
