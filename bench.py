@@ -179,6 +179,7 @@ def main() -> None:
     packed_entry = None
     packed_seeded_qps = packed_seeded_recall = None
     packed_descent_qps = packed_descent_recall = None
+    packed_kernel_qps = packed_kernel_recall = None
     del bf
     import gc; gc.collect()
     if os.environ.get("INSTANT_TPU_BENCH_MODE", "packed") == "packed":
@@ -201,16 +202,21 @@ def main() -> None:
                 "INSTANT_TPU_BENCH_SEEDED_EXPAND", 2))
             variants = []
             for name, n_seeds, v_ef, v_exp in (
+                    ("kernel", seeds, seeded_ef, seeded_expand),
                     ("seeded", seeds, seeded_ef, seeded_expand),
                     ("descent", 0, descent_ef, None)):
                 try:
                     pkw = dict(k=k, ef=v_ef, entry_seeds=n_seeds,
                                expand=v_exp)
-                    pt = time_fn(lambda q: packed.search_batch(q, **pkw),
+                    # "kernel" = the fused Pallas graph-walk engine (whole
+                    # packed beam search in VMEM, ops/walk_kernel.py);
+                    # same seeded entry + exact rerank as "seeded"
+                    search = (packed.search_batch_kernel
+                              if name == "kernel" else packed.search_batch)
+                    pt = time_fn(lambda q: search(q, **pkw),
                                  qbatch, warmup=3, iters=20)
                     v_qps = batch / pt.per_call_s
-                    pd, pp = packed.search_batch(queries[:n_queries],
-                                                 **pkw)
+                    pd, pp = search(queries[:n_queries], **pkw)
                     v_rec, v_min = recall_blocks(pp)
                     variants.append((v_qps, v_rec, v_min, name))
                     print(f"[bench] tpu packed({name}): {v_qps:,.0f} "
@@ -229,6 +235,9 @@ def main() -> None:
                 (packed_descent_qps, packed_descent_recall) = next(
                     ((q, r) for q, r, _m, nm in variants
                      if nm == "descent"), (None, None))
+                (packed_kernel_qps, packed_kernel_recall) = next(
+                    ((q, r) for q, r, _m, nm in variants
+                     if nm == "kernel"), (None, None))
                 print(f"[bench] tpu packed(best={packed_entry}): "
                       f"{packed_qps:,.0f} qps, "
                       f"recall@10={packed_recall:.4f} "
@@ -278,12 +287,18 @@ def main() -> None:
     # int 1024/4096/32 4.86x, f32 bucket 512/4096/32 from the r2 sweep;
     # slab-body follow-up sweep: inner=2 lifts pack to 5.56x, slab body
     # ties the grid body within noise, so the simpler grid stays)
+    # ef/sel_target per variant: r4 recall recovery (VERDICT r3 #3) —
+    # approx_min_k's default 0.95 recall_target was the dominant fused
+    # -path recall loss; 0.99 target + deeper exact rerank serves
+    # >= 0.99 recall@10 (tools/tune_pack_recall.py sweep)
     fused_kw = {
-        "scan_fused": dict(fused="bucket", qb=512, cb=4096, lsub=32),
+        "scan_fused": dict(fused="bucket", qb=512, cb=4096, lsub=32,
+                           ef=32, sel_target=0.99),
         "scan_fused_int": dict(fused="bucket_int", qb=1024, cb=4096,
-                               lsub=32),
+                               lsub=32, ef=32, sel_target=0.99),
         "scan_fused_pack": dict(fused="bucket_pack", qb=1024, cb=8192,
-                                lsub=64, inner=2),
+                                lsub=64, inner=2, ef=32,
+                                sel_target=0.99),
     }
     # hardware-tuned overrides (tools/tune_scan_kernel.py results)
     tuned = os.environ.get("INSTANT_TPU_BENCH_FUSED_TUNED")
@@ -292,7 +307,8 @@ def main() -> None:
             try:
                 name, rest = part.split(":")
                 kw = dict(x.split("=") for x in rest.split(","))
-                override = {k_: int(v) for k_, v in kw.items()}
+                override = {k_: (float(v) if "." in v else int(v))
+                            for k_, v in kw.items()}
             except ValueError:
                 print(f"[bench] skipping malformed FUSED_TUNED segment "
                       f"{part!r} (want name:k=v,k=v)", file=sys.stderr)
@@ -308,11 +324,11 @@ def main() -> None:
         for name, fkw in fused_kw.items():
             try:
                 ft = time_fn(lambda q: scan.search_batch(
-                                 q, k=k, ef=16, **fkw),
+                                 q, k=k, **fkw),
                              sq, warmup=2, iters=20)
                 f_qps = scan_batch / ft.per_call_s
                 fd, fp = scan.search_batch(queries[:n_queries], k=k,
-                                           ef=16, **fkw)
+                                           **fkw)
                 f_rec, f_min = recall_blocks(fp)
                 fused_res[name] = (f_qps, f_rec, f_min)
                 print(f"[bench] tpu {name.replace('_', '-')}: "
@@ -427,6 +443,11 @@ def main() -> None:
         packed_descent_recall_at_10=(round(packed_descent_recall, 4)
                                      if packed_descent_recall is not None
                                      else None),
+        packed_kernel_qps=(round(packed_kernel_qps, 1)
+                           if packed_kernel_qps else None),
+        packed_kernel_recall_at_10=(round(packed_kernel_recall, 4)
+                                    if packed_kernel_recall is not None
+                                    else None),
         scan_qps=round(scan_qps, 1) if scan_qps else None,
         scan_recall_at_10=(round(scan_recall, 4)
                            if scan_recall is not None else None),

@@ -309,10 +309,13 @@ class Hnsw:
         serialize.dump(self, fname, format=format)
 
     @classmethod
-    def load(cls, fname: str, format: str = "auto") -> "Hnsw":
+    def load(cls, fname: str, format: str = "auto", **kw) -> "Hnsw":
+        """Load a dumped index.  Extra kwargs go to the format loader —
+        for headerless bincode with a non-reference shape pass
+        ``dims=``/``m=`` (utils/serialize.load_bincode)."""
         from ..utils import serialize
 
-        obj = serialize.load(fname, format=format)
+        obj = serialize.load(fname, format=format, **kw)
         if not isinstance(obj, Hnsw) or isinstance(obj, HnswMap):
             raise ValueError(f"{fname} does not contain a plain Hnsw")
         return obj
@@ -379,10 +382,11 @@ class HnswMap(Hnsw):
         return item
 
     @classmethod
-    def load(cls, fname: str, format: str = "auto") -> "HnswMap":
+    def load(cls, fname: str, format: str = "auto", **kw) -> "HnswMap":
+        """Load a dumped map (see :meth:`Hnsw.load` for kwargs)."""
         from ..utils import serialize
 
-        obj = serialize.load(fname, format=format)
+        obj = serialize.load(fname, format=format, **kw)
         if not isinstance(obj, HnswMap):
             raise ValueError(f"{fname} does not contain an HnswMap")
         return obj

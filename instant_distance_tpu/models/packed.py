@@ -182,7 +182,8 @@ class PackedHnsw:
         bp0 = jax.lax.dynamic_update_slice(bp0, sp, (0, 0))
         bd, bp = wk.walk_search(
             qp, bd0, bp0, codes, meta, kp=kp, expand=e_n, ef=ef,
-            max_iters=cfg.max_iter_factor * ef + 16, bq=bq)
+            max_iters=cfg.max_iter_factor * ef + 16, bq=bq,
+            interpret=jax.default_backend() == "cpu")
         bd, bp = bd[:b0], bp[:b0]
         if not rerank:
             return bd[:, :k], bp[:, :k]

@@ -187,10 +187,10 @@ def _scan_search_jit(queries, codes, scales, norms, points, eligible, *,
 @functools.partial(
     jax.jit,
     static_argnames=("ef", "k", "lsub", "qb", "cb", "inner", "rerank",
-                     "interpret", "metric_name"))
+                     "sel_target", "interpret", "metric_name"))
 def _fused_int_search_jit(queries, codes_t, norms_r, sg, points,
                           eligible, *, metric_name, ef, k, lsub, qb, cb,
-                          inner, rerank, interpret):
+                          inner, rerank, sel_target=0.95, interpret=False):
     """Shared-scale int-epilogue fused scan (ops/scan_kernel.py:
     fused_scan_bucket_int): queries quantized with ONE batch scale so
     the kernel's per-element epilogue is a single int32 subtract."""
@@ -211,7 +211,8 @@ def _fused_int_search_jit(queries, codes_t, norms_r, sg, points,
                                    interpret=interpret)
     # int ranks < 2^24 convert exactly; approx_min_k needs floats
     md, nidx = jax.lax.approx_min_k(od.astype(jnp.float32),
-                                    min(ef, od.shape[1]))
+                                    min(ef, od.shape[1]),
+                                    recall_target=sel_target)
     bi = jnp.take_along_axis(oi, nidx, axis=1)
     bi = jnp.where(md < big // 2, bi, -1)
     if not rerank:
@@ -227,11 +228,13 @@ def _fused_int_search_jit(queries, codes_t, norms_r, sg, points,
 @functools.partial(
     jax.jit,
     static_argnames=("ef", "k", "lsub", "qb", "cb", "inner", "rerank",
-                     "slab", "sel_group", "interpret", "metric_name"))
+                     "slab", "sel_group", "sel_target", "interpret",
+                     "metric_name"))
 def _fused_int_packed_search_jit(queries, codes_t, norms_r, sg, points,
                                  eligible, *, metric_name, ef, k, lsub,
                                  qb, cb, inner, rerank, slab=False,
-                                 sel_group=0, interpret=False):
+                                 sel_group=0, sel_target=0.95,
+                                 interpret=False):
     """Packed-key int-epilogue fused scan (ops/scan_kernel.py:
     fused_scan_bucket_int_packed): the slab index rides the rank's low
     bits, so the kernel's epilogue is a 2-op key + 1 min per element
@@ -274,14 +277,16 @@ def _fused_int_packed_search_jit(queries, codes_t, norms_r, sg, points,
         og = od.reshape(b, od.shape[1] // sel_group, sel_group)
         gmin = og.min(axis=2)
         _, gidx = jax.lax.approx_min_k(
-            jax.lax.bitcast_convert_type(gmin, jnp.float32), efk)
+            jax.lax.bitcast_convert_type(gmin, jnp.float32), efk,
+            recall_target=sel_target)
         cand = jnp.take_along_axis(og, gidx[:, :, None], axis=1)
         j = jnp.argmin(cand, axis=2).astype(jnp.int32)
         keys = jnp.min(cand, axis=2)
         nidx = gidx * sel_group + j
     else:
         _, nidx = jax.lax.approx_min_k(
-            jax.lax.bitcast_convert_type(od, jnp.float32), efk)
+            jax.lax.bitcast_convert_type(od, jnp.float32), efk,
+            recall_target=sel_target)
         keys = jnp.take_along_axis(od, nidx, axis=1)
     blk = nidx // ct
     lane = nidx % ct
@@ -301,10 +306,12 @@ def _fused_int_packed_search_jit(queries, codes_t, norms_r, sg, points,
 @functools.partial(
     jax.jit,
     static_argnames=("metric_name", "ef", "k", "lsub", "topt", "qb",
-                     "cb", "inner", "rerank", "interpret", "mode"))
+                     "cb", "inner", "rerank", "sel_target", "interpret",
+                     "mode"))
 def _fused_search_jit(queries, codes_t, scales_r, norms_r, points,
                       eligible, *, metric_name, ef, k, lsub, topt, qb,
-                      cb, inner, rerank, interpret, mode="topt"):
+                      cb, inner, rerank, sel_target=0.95, interpret=False,
+                      mode="topt"):
     from ..ops.scan_kernel import fused_scan_bucket, fused_scan_topt
 
     is_dot = metric_name in ("dot", "cosine")
@@ -328,7 +335,8 @@ def _fused_search_jit(queries, codes_t, scales_r, norms_r, points,
                                  norms_r, lsub=lsub, topt=topt, qb=qb,
                                  cb=cb, is_dot=is_dot,
                                  interpret=interpret)
-    md, nidx = jax.lax.approx_min_k(od, min(ef, od.shape[1]))
+    md, nidx = jax.lax.approx_min_k(od, min(ef, od.shape[1]),
+                                    recall_target=sel_target)
     bi = jnp.take_along_axis(oi, nidx, axis=1)
     bi = jnp.where(jnp.isfinite(md), bi, -1)
     if not rerank:
@@ -524,7 +532,8 @@ class ScanIndex:
                      approx_topk: bool = False, tile: int = 0,
                      fused=False, topt: int = 8, lsub: int = 16,
                      qb: int = 0, cb: int = 0, inner: int = 1,
-                     slab: bool = False, sel_group: int = 0):
+                     slab: bool = False, sel_group: int = 0,
+                     sel_target: float = 0.95):
         """[B, D] -> (dists [B, k], ids [B, k]); ids = input order.
 
         ``ef`` is the rerank depth (how many scan candidates get exact
@@ -552,6 +561,10 @@ class ScanIndex:
         non-kernel time); candidates become the top-ef distinct-group
         columns — a ~ef*g/(N/lsub) fraction of candidates can merge,
         which the exact rerank absorbs.
+        ``sel_target`` is ``approx_min_k``'s per-candidate recall
+        target for the fused paths (XLA's default 0.95 drops ~5% of
+        true candidates pre-rerank — the dominant recall loss in the
+        fused variants; 0.99+ costs a lower selection reduction ratio).
         """
         queries = jnp.asarray(queries, jnp.float32)
         if queries.ndim == 1:
@@ -588,7 +601,8 @@ class ScanIndex:
                     self._eligible(filter_mask),
                     metric_name="sqeuclidean", ef=ef, k=k, lsub=lsub,
                     qb=qb, cb=cb, inner=inner, rerank=rerank,
-                    slab=slab, sel_group=sel_group, interpret=interp)
+                    slab=slab, sel_group=sel_group,
+                    sel_target=sel_target, interpret=interp)
             elif mode == "bucket_int":
                 codes_t, norms_r, sg = self._fused_int_arrays(cb * inner)
                 d, i = _fused_int_search_jit(
@@ -596,7 +610,7 @@ class ScanIndex:
                     self._eligible(filter_mask),
                     metric_name="sqeuclidean", ef=ef, k=k, lsub=lsub,
                     qb=qb, cb=cb, inner=inner, rerank=rerank,
-                    interpret=interp)
+                    sel_target=sel_target, interpret=interp)
             else:
                 fm = "sqeuclidean" if is_l2 else metric_name
                 codes_t, scales_r, norms_r = self._fused_arrays(
@@ -606,7 +620,7 @@ class ScanIndex:
                     self._eligible(filter_mask),
                     metric_name=fm, ef=ef, k=k, lsub=lsub,
                     topt=topt, qb=qb, cb=cb, inner=inner, rerank=rerank,
-                    mode=mode, interpret=interp)
+                    sel_target=sel_target, mode=mode, interpret=interp)
             if pad:
                 d, i = d[:b], i[:b]
         else:

@@ -28,7 +28,6 @@ which is fast, self-describing, and mmap-friendly.
 from __future__ import annotations
 
 import dataclasses
-import io
 import json
 import struct
 from typing import Optional
@@ -118,6 +117,57 @@ def _r_u64(f) -> int:
     return struct.unpack("<Q", f.read(8))[0]
 
 
+class _BincodeReader:
+    """Bounds-checked cursor over a bincode byte buffer.
+
+    The format has no magic/checksum (it is the reference binding's raw
+    serde stream, py src/lib.rs:59-75), so the only defense against a
+    truncated or corrupt file is strict accounting: every read states
+    what it is for and fails with a position-annotated ValueError
+    instead of a raw struct/numpy shape error."""
+
+    def __init__(self, data: bytes, fname: str):
+        self.data = data
+        self.off = 0
+        self.fname = fname
+
+    def take(self, nbytes: int, what: str) -> bytes:
+        if nbytes < 0 or self.off + nbytes > len(self.data):
+            raise ValueError(
+                f"{self.fname}: truncated or corrupt bincode — needed "
+                f"{nbytes} bytes for {what} at offset {self.off}, file "
+                f"has {len(self.data)}")
+        out = self.data[self.off:self.off + nbytes]
+        self.off += nbytes
+        return out
+
+    def u64(self, what: str) -> int:
+        return struct.unpack("<Q", self.take(8, what))[0]
+
+    def u32(self, what: str) -> int:
+        return struct.unpack("<I", self.take(4, what))[0]
+
+    def count(self, what: str, elem_bytes: int) -> int:
+        """A u64 length whose payload must fit in the remaining bytes —
+        rejects absurd lengths before they turn into giant reads."""
+        n = self.u64(what)
+        if elem_bytes and n > (len(self.data) - self.off) // elem_bytes:
+            raise ValueError(
+                f"{self.fname}: corrupt bincode — {what} claims {n} "
+                f"elements ({n * elem_bytes} bytes) but only "
+                f"{len(self.data) - self.off} bytes remain")
+        return n
+
+    def array(self, n: int, dtype: str, shape, what: str) -> np.ndarray:
+        itemsize = np.dtype(dtype).itemsize
+        raw = self.take(n * itemsize, what)
+        return np.frombuffer(raw, dtype).reshape(shape)
+
+    @property
+    def remaining(self) -> int:
+        return len(self.data) - self.off
+
+
 def dump_bincode(index, fname: str, values_as_strings: bool = True) -> None:
     """Write the reference's bincode layout (readable by the Rust crate's
     ``load`` when D == 300 and M == 32).
@@ -169,40 +219,65 @@ def load_bincode(fname: str, dims: int = REFERENCE_DIMS,
     ``dims`` must match the writer (the format has no header; the
     reference binding hardcodes 300).  ``has_values`` None = autodetect
     by trailing bytes.
+
+    Truncated/corrupt input fails with a position-annotated ValueError
+    (never a raw struct/numpy error): lengths are validated against the
+    remaining byte count before any allocation.
     """
     from ..models.hnsw import Hnsw, HnswMap
 
     with open(fname, "rb") as fh:
         data = fh.read()
-    f = io.BytesIO(data)
-    ef_search = _r_u64(f)
-    n = _r_u64(f)
-    points = np.frombuffer(f.read(n * dims * 4), "<f4").reshape(n, dims)
-    nz = _r_u64(f)
+    r = _BincodeReader(data, fname)
+    ef_search = r.u64("ef_search")
+    n = r.count("point count", dims * 4)
+    points = r.array(n * dims, "<f4", (n, dims), "points")
+    nz = r.count("zero-layer row count", 2 * m * 4)
     if nz != n:
-        raise ValueError(f"zero rows {nz} != point count {n}")
-    zero = np.frombuffer(f.read(n * 2 * m * 4), "<u4").reshape(
-        n, 2 * m).view(np.int32)  # u32::MAX -> -1, bit-identical
-    nl = _r_u64(f)
+        raise ValueError(
+            f"{fname}: zero rows {nz} != point count {n} — wrong "
+            f"dims/m for this dump, or corrupt file")
+    # u32::MAX -> -1, bit-identical
+    zero = r.array(n * 2 * m, "<u4", (n, 2 * m), "zero layer").view(
+        np.int32)
+    nl = r.count("layer count", 8)
     layers = []
-    for _ in range(nl):
-        rows = _r_u64(f)
-        layers.append(np.frombuffer(
-            f.read(rows * m * 4), "<u4").reshape(rows, m).view(np.int32))
+    for li in range(nl):
+        rows = r.count(f"layer {li} row count", m * 4)
+        layers.append(r.array(rows * m, "<u4", (rows, m),
+                              f"layer {li}").view(np.int32))
     if has_values is None:
-        has_values = f.tell() < len(data)
+        has_values = r.remaining > 0
     cfg = config or Config(ef_search=ef_search, m=m)
     cfg.ef_search = ef_search
     if not has_values:
+        if r.remaining:
+            raise ValueError(
+                f"{fname}: {r.remaining} trailing bytes after the graph "
+                "— dims/m mismatch with the writer, or corrupt file")
         return Hnsw(points, zero, layers, cfg)
     values = []
-    count = _r_u64(f)
-    for _ in range(count):
-        (tag,) = struct.unpack("<I", f.read(4))
+    count = r.count("value count", 4)
+    for vi in range(count):
+        tag = r.u32(f"value {vi} tag")
         if tag != 0:
-            raise ValueError(f"unknown MapValue variant {tag}")
-        ln = _r_u64(f)
-        values.append(f.read(ln).decode("utf-8"))
+            raise ValueError(
+                f"{fname}: unknown MapValue variant {tag} at value {vi} "
+                f"(offset {r.off - 4})")
+        ln = r.count(f"value {vi} length", 1)
+        try:
+            values.append(r.take(ln, f"value {vi} bytes").decode("utf-8"))
+        except UnicodeDecodeError as exc:
+            raise ValueError(
+                f"{fname}: value {vi} is not valid UTF-8: {exc}") from exc
+    if count != n:
+        raise ValueError(
+            f"{fname}: {count} values for {n} points — corrupt file or "
+            "a non-map dump read with has_values=True")
+    if r.remaining:
+        raise ValueError(
+            f"{fname}: {r.remaining} trailing bytes after the values — "
+            "dims/m mismatch with the writer, or corrupt file")
     return HnswMap(points, zero, layers, cfg, values)
 
 
