@@ -287,18 +287,20 @@ def main() -> None:
     # int 1024/4096/32 4.86x, f32 bucket 512/4096/32 from the r2 sweep;
     # slab-body follow-up sweep: inner=2 lifts pack to 5.56x, slab body
     # ties the grid body within noise, so the simpler grid stays)
-    # ef/sel_target per variant: r4 recall recovery (VERDICT r3 #3) —
-    # approx_min_k's default 0.95 recall_target was the dominant fused
-    # -path recall loss; 0.99 target + deeper exact rerank serves
-    # >= 0.99 recall@10 (tools/tune_pack_recall.py sweep)
+    # ef=32 per variant: r4 recall recovery (VERDICT r3 #3).  The 1M
+    # interleaved sweep (tools/tune_pack_recall.py, r4) measured rerank
+    # depth as the recall lever AND a speedup: pack ef=32 t=.95 served
+    # 0.9953 recall@10 at 1.648x the r3-default ef=16's QPS, while
+    # sel_target=0.99 variants paid ~2x QPS for +0.0036 recall.  The
+    # deeper exact rerank both absorbs more stride-group merge losses
+    # and lands on a faster approx_min_k reduction shape at k=32.
     fused_kw = {
         "scan_fused": dict(fused="bucket", qb=512, cb=4096, lsub=32,
-                           ef=32, sel_target=0.99),
+                           ef=32),
         "scan_fused_int": dict(fused="bucket_int", qb=1024, cb=4096,
-                               lsub=32, ef=32, sel_target=0.99),
+                               lsub=32, ef=32),
         "scan_fused_pack": dict(fused="bucket_pack", qb=1024, cb=8192,
-                                lsub=64, inner=2, ef=32,
-                                sel_target=0.99),
+                                lsub=64, inner=2, ef=32),
     }
     # hardware-tuned overrides (tools/tune_scan_kernel.py results)
     tuned = os.environ.get("INSTANT_TPU_BENCH_FUSED_TUNED")
