@@ -83,6 +83,12 @@ class Config:
     dist_cache_dtype: str = "float32"
     #: Safety cap on beam-search iterations, as a multiple of ef.
     max_iter_factor: int = 8
+    #: Build-time dispatch-queue throttle: force a [1] device->host
+    #: readback every this many waves so async dispatch (which returns
+    #: at ack through a relay) can't enqueue unboundedly far ahead of
+    #: execution — the queued programs' buffers pile up in HBM and can
+    #: OOM a near-full chip.  0 disables.
+    dispatch_sync_every: int = 16
     #: Wavefront width at query time: how many beam entries expand per
     #: step (1 = the reference's strict best-first order; higher = fewer,
     #: fatter steps, better TPU throughput, never-lower recall).

@@ -1117,7 +1117,10 @@ def _np_chunked(x, max_bytes: int = 1 << 28):
         return np.asarray(x)
     row_bytes = max(1, x.nbytes // x.shape[0])
     rows = max(1, min(x.shape[0], max_bytes // row_bytes))
-    out = np.empty(x.shape, np.asarray(x[:1]).dtype)
+    # x.dtype directly: probing via np.asarray(x[:1]) dispatches a device
+    # slice, and the checkpoint runs exactly when HBM is at its fullest —
+    # the 10M build's first mid-build checkpoint OOM'd on that probe.
+    out = np.empty(x.shape, x.dtype)
     i = 0
     while i < x.shape[0]:
         j = min(i + rows, x.shape[0])
@@ -1316,6 +1319,16 @@ def build_graph(points, config: Config, progress=None,
             drops = drops + dd
             done += w
             waves_done += 1
+            # Throttle the async dispatch queue with a scalar readback:
+            # through the axon relay, dispatch returns at ack, so the
+            # host races hundreds of waves ahead and the enqueued
+            # programs' buffers pile up in HBM — at 10M x 96 the pileup
+            # exhausted a 16 GB chip (the persistent plan is ~9 GB).
+            # A [1] readback every few waves bounds the in-flight depth
+            # at ~0.1 s per sync (<<1% of wave time at any scale).
+            sync_every = int(getattr(cfg, "dispatch_sync_every", 16) or 0)
+            if sync_every and waves_done % sync_every == 0:
+                np.asarray(drops)
             if progress is not None:
                 progress(done, n, f"layer {layer}")
             if checkpoint is not None and waves_done % checkpoint_every == 0:
