@@ -139,11 +139,31 @@ class PackedHnsw:
             self._walk_cache = cached
         return cached
 
+    def _walk_operands_fused(self):
+        """(frow [N, K+4, Dp] int8, dummy meta, kp=64, d_pad) for the
+        fused-row walk-kernel layout (ops/walk_kernel.pack_walk_fused):
+        ONE DMA per expansion fetches codes AND metadata byte-planes."""
+        cached = getattr(self, "_walk_cache_fused", None)
+        if cached is None:
+            ids, codes, scales = self.zero_pack
+            codes = np.asarray(codes)
+            d = codes.shape[2]
+            dp = ((d + 127) // 128) * 128
+            if dp != d:
+                codes = np.pad(codes, ((0, 0), (0, 0), (0, dp - d)))
+            frow = wk.pack_walk_fused(np.asarray(ids), np.asarray(scales),
+                                      codes)
+            dummy = jnp.zeros((1, 128), jnp.int32)
+            cached = (jnp.asarray(frow), dummy, 64, dp)
+            self._walk_cache_fused = cached
+        return cached
+
     def search_batch_kernel(self, queries, k: Optional[int] = None,
                             ef: Optional[int] = None, rerank: bool = True,
                             entry_seeds: Optional[int] = None,
                             expand: Optional[int] = None,
-                            bq: int = 128):
+                            bq: int = 128, fused_rows: bool = True,
+                            merge: str = "extract"):
         """Batched query through the fused Pallas graph-walk kernel.
 
         Same traversal semantics as ``search_batch`` (the kernel is
@@ -151,6 +171,11 @@ class PackedHnsw:
         requires ``entry_seeds`` > 0 (the seeded MXU entry is the tuned
         serving mode) and supports ``expand`` in {1, 2}.  Result filters/
         tombstones are not routed here — use ``search_batch``.
+
+        ``fused_rows`` fetches each expansion with ONE row DMA (metadata
+        byte-planes inline, ops/walk_kernel.pack_walk_fused) — half the
+        scalar-core issue cost of the split codes+meta layout;
+        ``merge`` picks the beam-merge strategy (see walk_search).
         """
         cfg = self.config
         if self._alive is not None:
@@ -166,7 +191,10 @@ class PackedHnsw:
         seeds = self._seeds(entry_seeds)
         if seeds is None:
             raise ValueError("kernel engine needs entry_seeds > 0")
-        codes, meta, kp, dp = self._walk_operands()
+        if fused_rows:
+            codes, meta, kp, dp = self._walk_operands_fused()
+        else:
+            codes, meta, kp, dp = self._walk_operands()
         b0 = queries.shape[0]
         b = ((b0 + bq - 1) // bq) * bq
         qp = queries
@@ -183,7 +211,8 @@ class PackedHnsw:
         bd, bp = wk.walk_search(
             qp, bd0, bp0, codes, meta, kp=kp, expand=e_n, ef=ef,
             max_iters=cfg.max_iter_factor * ef + 16, bq=bq,
-            interpret=jax.default_backend() == "cpu")
+            interpret=jax.default_backend() == "cpu",
+            fused_rows=fused_rows, merge=merge)
         bd, bp = bd[:b0], bp[:b0]
         if not rerank:
             return bd[:, :k], bp[:, :k]

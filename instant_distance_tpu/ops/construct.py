@@ -341,20 +341,61 @@ def search_select_core(wave_pids, points, stacked, offsets, n_upper,
         if qpad:
             qc = jnp.concatenate(
                 [qc, jnp.broadcast_to(qc[:1], (qpad, qc.shape[1]))])
-        od = fused_scan_bucket_int_packed(
-            qc, w2, codes, lsub=lsub, qb=qb, cb=cbk,
-            interpret=jax.default_backend() == "cpu")[:w]
-        k_sel = min(efc, od.shape[1])
-        # keys are non-negative (pack_w2 bias) so the f32 BITCAST is
-        # order-preserving — no converted copy of the key array; exact
-        # int keys re-gathered by position before decoding ids
-        _, nidx = jax.lax.approx_min_k(
-            jax.lax.bitcast_convert_type(od, jnp.float32), k_sel,
-            recall_target=0.999)
-        keys = jnp.take_along_axis(od, nidx, axis=1)
-        blk = nidx // ct
-        lane = nidx % ct
-        cand_p = blk * cbk + (keys & (lsub - 1)) * ct + lane
+
+        def _pack_chunk(cs: int, ce: int, qc_c):
+            """Scan table columns [cs, ce) -> (keys [W, k_sel], global
+            pids [W, k_sel]).  Packed keys share the global quantized
+            scale so they are comparable ACROSS chunks — the multi-chunk
+            merge below is a pure key merge, no re-scoring."""
+            w2_c = pack_w2(norms[:, cs:ce], denom,
+                           col[:, cs:ce] < filled, lsub=lsub, cb=cbk,
+                           d=q.shape[1])
+            od = fused_scan_bucket_int_packed(
+                qc_c, w2_c, codes[:, cs:ce], lsub=lsub, qb=qb, cb=cbk,
+                interpret=jax.default_backend() == "cpu")[:w]
+            k_sel = min(efc, od.shape[1])
+            # keys are non-negative (pack_w2 bias) so the f32 BITCAST is
+            # order-preserving — no converted copy of the key array;
+            # exact int keys re-gathered by position before decoding ids
+            _, nidx = jax.lax.approx_min_k(
+                jax.lax.bitcast_convert_type(od, jnp.float32), k_sel,
+                recall_target=0.999)
+            keys = jnp.take_along_axis(od, nidx, axis=1)
+            blk = nidx // ct
+            lane = nidx % ct
+            pid = cs + blk * cbk + (keys & (lsub - 1)) * ct + lane
+            return keys, jnp.where(keys < PACK_THRESH, pid, -1)
+
+        npad_cols = norms.shape[1]
+        # bound the [W, cols/lsub] stride-min temporaries: one whole
+        # -table call allocates ~2.7 GB (+ selection copies) at 10M x
+        # 4096-wave — that plus the ~9 GB persistent build plan OOMs a
+        # 16 GB chip.  Above _PACK_CHUNK_COLS columns, scan in chunks
+        # and merge the per-chunk top-efc by key (the keys are globally
+        # comparable); below it the tuned single-call path is unchanged.
+        chunk_cols = _PACK_CHUNK_COLS
+        if npad_cols <= chunk_cols:
+            keys, cand_p = _pack_chunk(0, npad_cols, qc)
+            k_sel = keys.shape[1]
+        else:
+            # optimization_barrier chains chunk i+1's query operand to
+            # chunk i's result: XLA must run the chunks SEQUENTIALLY, so
+            # the allocator reuses one chunk's stride-min buffers
+            # instead of scheduling all chunks to overlap (which puts
+            # every chunk's temporaries live at once — measured +2 GB)
+            parts, tok = [], qc
+            for cs in range(0, npad_cols, chunk_cols):
+                qc_c = jax.lax.optimization_barrier((qc, tok))[0]
+                k_c, p_c = _pack_chunk(
+                    cs, min(cs + chunk_cols, npad_cols), qc_c)
+                parts.append((k_c, p_c))
+                tok = k_c
+            keys = jnp.concatenate([p[0] for p in parts], axis=1)
+            pids = jnp.concatenate([p[1] for p in parts], axis=1)
+            keys, cand_p = jax.lax.sort((keys, pids), dimension=1,
+                                        num_keys=2)
+            k_sel = min(efc, keys.shape[1])
+            keys, cand_p = keys[:, :k_sel], cand_p[:, :k_sel]
         cand_p = jnp.where(keys < PACK_THRESH, cand_p, -1)
         if k_sel < efc:
             cand_p = jnp.pad(cand_p, ((0, 0), (0, efc - k_sel)),
@@ -770,6 +811,12 @@ _FUSED_LSUB = 32
 #: the exact rerank + hop expansion).  cb/lsub = 8192/64 = 128 lanes.
 _FUSED_PACK_CB = 8192
 _FUSED_PACK_LSUB = 64
+#: Column-chunk width of the packed-key construction scan: tables wider
+#: than this are scanned in chunks with a cross-chunk key merge, which
+#: bounds the [wave, cols/lsub] stride-min temporaries (a whole-table
+#: call at 10M allocates ~2.7 GB + selection copies).  Tests shrink it
+#: to exercise the merge at CPU scale.
+_PACK_CHUNK_COLS = 1 << 22
 
 
 def _use_pack(metric_name, d: int) -> bool:
@@ -1215,7 +1262,25 @@ def build_graph(points, config: Config, progress=None,
     top = len(sizes) - 1
     ranges = [(top - i, max(c - s, 1), c) for i, (s, c) in enumerate(sizes)]
 
-    dev_points = jnp.asarray(pts)
+    # Pad D to a 128-lane multiple for the build's device copy: a
+    # compact [N, 96]-like argument makes EVERY gathering wave program
+    # materialize a full (8,128)-tiled temp copy of the table (4.8 GB
+    # at 10M x 96 — the 10M build OOM'd on exactly this), while a
+    # 128-lane array's row-major layout IS the tiled layout, so gathers
+    # read the argument in place.  Zero columns add 0 to every named
+    # metric's sums; beam mode (custom callables) is never padded.
+    pad_d = (-pts.shape[1]) % 128 if search_mode.startswith("scan") else 0
+    if pad_d:
+        dev_points = jnp.asarray(np.pad(pts, ((0, 0), (0, pad_d))))
+    else:
+        dev_points = jnp.asarray(pts)
+    # quantize BEFORE the adjacency arrays exist: its [N, D] f32
+    # dequant temporaries (+6 GB at 10M) must not stack on top of them
+    main_ops, flat_ops = _scan_operands(dev_points, search_mode,
+                                        metric_name, exact_prefix)
+    if main_ops[0] is not None:
+        from ..utils.metrics import force_ready
+        force_ready(main_ops[0])  # real barrier: quantize temps freed
     prow = (n + 1 + pk - 1) // pk  # physical adjacency rows (pk=1: n+1)
     adj = jnp.full((prow, pk * m0), -1, jnp.int32)
     adjd = jnp.full((prow, pk * m0), jnp.inf,
@@ -1236,9 +1301,6 @@ def build_graph(points, config: Config, progress=None,
     if top > 16:
         raise ValueError("more than 16 upper layers (n too large for ml)")
     write_off = 0
-
-    main_ops, flat_ops = _scan_operands(dev_points, search_mode,
-                                        metric_name, exact_prefix)
 
     # ---- checkpoint/resume ------------------------------------------------
     resume_li, resume_s, waves_done = -1, -1, 0
@@ -1367,5 +1429,10 @@ def build_graph(points, config: Config, progress=None,
         # unpack to the BuiltGraph contract ([N, m0]); row-major reshape
         # is the exact inverse of the packed layout (see _pk_* helpers)
         adj = adj.reshape(-1, m0)
+    if pad_d:
+        # hand back COMPACT points (the BuiltGraph/Hnsw contract): a
+        # fresh host upload, not a device slice — slicing would both
+        # hold the padded copy and re-trigger the tiled-copy staging
+        dev_points = jnp.asarray(pts)
     return BuiltGraph(dev_points, adj[:n], layers, ids, cfg,
                       reverse_drops=reverse_drops)

@@ -65,6 +65,33 @@ def pack_walk_meta(ids, scales):
     return meta, kp
 
 
+def pack_walk_fused(ids, scales, codes):
+    """[N, K] i32 ids + [N, K] f32 scales + [N, K, D] int8 codes ->
+    fused rows [N, K+4, D] int8: ONE DMA per expansion fetches codes
+    AND metadata (the split layout's second meta DMA doubles the
+    scalar-core issue cost, which is the kernel's per-step floor).
+
+    Rows K..K+3, lanes [0, 128) are little-endian byte-planes (row r,
+    lane j = byte r of int32 j) of a 128-int32 meta row: neighbor ids
+    at int32 lanes [0, K), scale bits at lanes [64, 64+K).  The
+    byte-plane layout makes the in-kernel reconstruction four full
+    sublane-row slices + shift/or arithmetic — no cross-lane strides,
+    no dtype-width bitcasts, hardware-layout-independent.
+    Requires D % 128 == 0 and K <= 64."""
+    codes = np.asarray(codes, np.int8)
+    n, k, d = codes.shape
+    if d % 128 or k > 64:
+        raise ValueError(f"fused rows need D%128==0, K<=64 (got {d},{k})")
+    meta = np.full((n, 128), -1, np.int32)
+    meta[:, :k] = np.asarray(ids, np.int32)
+    meta[:, 64:64 + k] = np.asarray(scales, np.float32).view(np.int32)
+    planes = meta.view(np.uint8).reshape(n, 128, 4).transpose(0, 2, 1)
+    frow = np.zeros((n, k + 4, d), np.int8)
+    frow[:, :k, :] = codes
+    frow[:, k:, :128] = planes.view(np.int8)
+    return frow
+
+
 def _unrolled_rank_lt(exp_i32):
     """Per-lane exclusive prefix sum over the ef axis (rank of each
     expandable beam slot), unrolled — Mosaic-safe replacement for
@@ -82,7 +109,7 @@ def _walk_kernel(q_ref, bd0_ref, bp0_ref, codes_ref, meta_ref,
                  bd_out, bp_out,
                  crow, mrow, bev, pidv, pids, sems, psem, *,
                  k: int, kp: int, expand: int, ef: int, max_iters: int,
-                 pid_via_smem: bool):
+                 pid_via_smem: bool, fused_rows: bool, merge: str):
     bq = q_ref.shape[0]
     e_n = expand
     ek = e_n * k
@@ -136,6 +163,14 @@ def _walk_kernel(q_ref, bd0_ref, bp0_ref, codes_ref, meta_ref,
             def _():
                 c = pltpu.make_async_copy(
                     codes_ref.at[pid], crow.at[e, i], sems.at[0])
+                if fused_rows:
+                    # metadata rides inside the codes row (byte planes,
+                    # pack_walk_fused) — half the scalar issue cost
+                    if start:
+                        c.start()
+                    else:
+                        c.wait()
+                    return
                 m_ = pltpu.make_async_copy(
                     meta_ref.at[pid], mrow.at[e, i], sems.at[1])
                 if start:
@@ -159,9 +194,24 @@ def _walk_kernel(q_ref, bd0_ref, bp0_ref, codes_ref, meta_ref,
         pid_mat = pidv[:]                                   # [BQ, E]
         nds, nbs = [], []
         for e in range(e_n):
-            ids_e = mrow[e][:, :k]                          # [BQ, K]
-            s_e = pltpu.bitcast(mrow[e][:, kp:kp + k], jnp.float32)
-            deq = crow[e][:].astype(jnp.float32) * s_e[:, :, None]
+            if fused_rows:
+                blk = crow[e][:]                            # [BQ, K+4, D]
+                # byte-plane meta reconstruction (pack_walk_fused):
+                # four full sublane-row slices + shift/or — exact i32,
+                # independent of hardware vreg packing
+                b0 = blk[:, k + 0, :128].astype(jnp.int32) & 255
+                b1 = blk[:, k + 1, :128].astype(jnp.int32) & 255
+                b2 = blk[:, k + 2, :128].astype(jnp.int32) & 255
+                b3 = blk[:, k + 3, :128].astype(jnp.int32)
+                meta32 = b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
+                ids_e = meta32[:, :k]                       # [BQ, K]
+                s_e = pltpu.bitcast(meta32[:, 64:64 + k], jnp.float32)
+                codes_blk = blk[:, :k, :].astype(jnp.float32)
+            else:
+                ids_e = mrow[e][:, :k]                      # [BQ, K]
+                s_e = pltpu.bitcast(mrow[e][:, kp:kp + k], jnp.float32)
+                codes_blk = crow[e][:].astype(jnp.float32)
+            deq = codes_blk * s_e[:, :, None]
             diff = q[:, None, :] - deq                      # [BQ, K, D]
             nd_e = jnp.sum(diff * diff, axis=2)             # [BQ, K]
             valid = (ids_e >= 0) & (pid_mat[:, e:e + 1] >= 0)
@@ -190,28 +240,59 @@ def _walk_kernel(q_ref, bd0_ref, bp0_ref, codes_ref, meta_ref,
         nb = jnp.concatenate(nbs, axis=1)
         nd = jnp.where(dup, jnp.inf, nd)
         nb = jnp.where(dup, -1, nb)
-        # counting-rank merge: strict total order by (dist, pid, index)
+        # merge to the new top-ef beam, strict total order by
+        # (dist, pid, index) — identical order under both strategies
         all_d = jnp.concatenate([bd, nd], axis=1)           # [BQ, T]
         all_p = jnp.concatenate([bp, nb], axis=1)
         all_e = jnp.concatenate(
             [bev[:], jnp.zeros((bq, ek), jnp.int32)], axis=1)
-        rankv = jnp.zeros((bq, t_all), jnp.int32)
-        for j in range(t_all):
-            dj = all_d[:, j:j + 1]
-            pj = all_p[:, j:j + 1]
-            less = (dj < all_d) | (
-                (dj == all_d) & ((pj < all_p)
-                                 | ((pj == all_p) & (iota_t > j))))
-            rankv = rankv + jnp.where(less, 1, 0)
-        ncols_d, ncols_p, ncols_e = [], [], []
-        for r in range(ef):
-            sel = rankv == r
-            ncols_d.append(jnp.sum(jnp.where(sel, all_d, 0.0), axis=1,
-                                   keepdims=True))
-            ncols_p.append(jnp.sum(jnp.where(sel, all_p, 0), axis=1,
-                                   keepdims=True))
-            ncols_e.append(jnp.sum(jnp.where(sel, all_e, 0), axis=1,
-                                   keepdims=True))
+        if merge == "extract":
+            # min-extraction: ef rounds, each takes the strict minimum
+            # of the untaken pool — O(ef*T) vs counting's O(T^2), and
+            # dist/pid fall out of the min reductions for free (only
+            # the expanded flag needs a masked-sum extraction)
+            big = jnp.int32(2 ** 30)
+            rem_d = all_d
+            taken = jnp.zeros((bq, t_all), jnp.int32)
+            ncols_d, ncols_p, ncols_e = [], [], []
+            for r in range(ef):
+                md = jnp.min(rem_d, axis=1, keepdims=True)
+                # `taken` filter matters once md == +inf: masking a
+                # taken slot's rem_d to +inf no longer removes it from
+                # the tie set
+                tie = (rem_d == md) & (taken == 0)
+                pc = jnp.where(tie, all_p, big)
+                mp = jnp.min(pc, axis=1, keepdims=True)
+                tie2 = tie & (all_p == mp)
+                ic = jnp.where(tie2, iota_t, big)
+                mi = jnp.min(ic, axis=1, keepdims=True)
+                sel = tie2 & (iota_t == mi)
+                ncols_d.append(md)
+                ncols_p.append(mp)
+                ncols_e.append(jnp.sum(jnp.where(sel, all_e, 0), axis=1,
+                                       keepdims=True))
+                sel_i = jnp.where(sel, 1, 0)
+                taken = taken + sel_i
+                rem_d = jnp.where(sel, jnp.inf, rem_d)
+        else:
+            # counting rank: rank[l] = #{j : key_j < key_l}
+            rankv = jnp.zeros((bq, t_all), jnp.int32)
+            for j in range(t_all):
+                dj = all_d[:, j:j + 1]
+                pj = all_p[:, j:j + 1]
+                less = (dj < all_d) | (
+                    (dj == all_d) & ((pj < all_p)
+                                     | ((pj == all_p) & (iota_t > j))))
+                rankv = rankv + jnp.where(less, 1, 0)
+            ncols_d, ncols_p, ncols_e = [], [], []
+            for r in range(ef):
+                sel = rankv == r
+                ncols_d.append(jnp.sum(jnp.where(sel, all_d, 0.0), axis=1,
+                                       keepdims=True))
+                ncols_p.append(jnp.sum(jnp.where(sel, all_p, 0), axis=1,
+                                       keepdims=True))
+                ncols_e.append(jnp.sum(jnp.where(sel, all_e, 0), axis=1,
+                                       keepdims=True))
         nbd = jnp.concatenate(ncols_d, axis=1)
         nbp = jnp.concatenate(ncols_p, axis=1)
         nbe = jnp.concatenate(ncols_e, axis=1)
@@ -227,32 +308,43 @@ def _walk_kernel(q_ref, bd0_ref, bp0_ref, codes_ref, meta_ref,
 
 @functools.partial(
     jax.jit, static_argnames=("kp", "expand", "ef", "max_iters", "bq",
-                              "pid_via_smem", "interpret"))
+                              "pid_via_smem", "interpret", "fused_rows",
+                              "merge"))
 def walk_search(queries, beam_d0, beam_p0, codes, meta, *, kp: int,
                 expand: int = 2, ef: int = 16, max_iters: int = 144,
                 bq: int = 128, pid_via_smem: bool = True,
-                interpret: bool = False):
+                interpret: bool = False, fused_rows: bool = False,
+                merge: str = "extract"):
     """Fused packed-graph beam search (approx distances, no rerank).
 
     Args:
       queries: [B, D] f32, B % bq == 0, D % 128 == 0.
       beam_d0/beam_p0: [B, ef] initial beam (seed-entry output placed in
         the leading slots, +inf/-1 elsewhere), sorted ascending.
-      codes: [N, K, D] int8 inline neighbor codes (zero_pack).
-      meta:  [N, 2*kp] int32 rows from :func:`pack_walk_meta`.
+      codes: [N, K, D] int8 inline neighbor codes (zero_pack), or with
+        ``fused_rows=True`` the [N, K+4, D] rows of
+        :func:`pack_walk_fused` (metadata inline -> ONE DMA/expansion).
+      meta:  [N, 2*kp] int32 rows from :func:`pack_walk_meta`
+        (``fused_rows=False`` only; pass a [1, 128] dummy otherwise).
+      merge: "extract" (min-extraction, O(ef*T)) or "count"
+        (counting rank, O(T^2)) — identical beam order either way.
     Returns (bd [B, ef] f32 approx dists, bp [B, ef] i32), beam-sorted.
     """
     b, d = queries.shape
-    n, k, dc = codes.shape
+    n, kc, dc = codes.shape
+    k = kc - 4 if fused_rows else kc
     assert dc == d and b % bq == 0
     if not interpret and d % 128:
         raise ValueError(f"D = {d} must be a multiple of 128 lanes")
+    if fused_rows and d % 128:
+        raise ValueError("fused rows need D % 128 == 0")
     if expand not in (1, 2):
         raise ValueError("walk kernel supports expand in {1, 2}")
     grid = (b // bq,)
     kernel = functools.partial(
         _walk_kernel, k=k, kp=kp, expand=expand, ef=ef,
-        max_iters=max_iters, pid_via_smem=pid_via_smem)
+        max_iters=max_iters, pid_via_smem=pid_via_smem,
+        fused_rows=fused_rows, merge=merge)
     bd, bp = pl.pallas_call(
         kernel,
         grid=grid,
@@ -277,8 +369,9 @@ def walk_search(queries, beam_d0, beam_p0, codes, meta, *, kp: int,
             jax.ShapeDtypeStruct((b, ef), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((expand, bq, k, d), jnp.int8),       # crow
-            pltpu.VMEM((expand, bq, 2 * kp), jnp.int32),    # mrow
+            pltpu.VMEM((expand, bq, kc, d), jnp.int8),      # crow
+            pltpu.VMEM((1, 1, 128) if fused_rows
+                       else (expand, bq, 2 * kp), jnp.int32),  # mrow
             pltpu.VMEM((bq, ef), jnp.int32),                # bev
             pltpu.VMEM((bq, expand), jnp.int32),            # pidv
             pltpu.SMEM((bq, expand), jnp.int32),            # pids

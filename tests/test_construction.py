@@ -92,3 +92,29 @@ def test_build_empty_and_single():
     g1 = build_graph(np.ones((1, 3), np.float32), cfg)
     assert g1.zero.shape == (1, cfg.m0)
     assert (np.asarray(g1.zero) == -1).all()
+
+
+def test_pack_chunked_scan_matches_single_chunk(monkeypatch):
+    """The packed-key construction scan's multi-chunk path (engaged at
+    >4M points to bound stride-min temporaries) must produce the same
+    graph quality as the single-chunk path: packed keys share the
+    global scale, so the cross-chunk merge is a pure key merge.  Shrink
+    the chunk width to force >1 chunk at CPU scale and compare exact
+    search results on the two graphs."""
+    from instant_distance_tpu.ops import construct as C
+
+    rng = np.random.default_rng(11)
+    pts = rng.standard_normal((12_000, 32)).astype(np.float32)
+    cfg = Config(seed=11, wave_size=2048, construct_mode="scan")
+
+    g1 = build_graph(pts, cfg)
+    monkeypatch.setattr(C, "_PACK_CHUNK_COLS", C._FUSED_PACK_CB)
+    g2 = build_graph(pts, cfg)
+
+    queries = rng.standard_normal((64, 32)).astype(np.float32)
+    gt = np.asarray(BruteForce(np.asarray(g1.points))
+                    .search_batch(queries, 10)[1])
+    for g in (g1, g2):
+        _, p = _search(g, queries, ef=50)
+        rec = float((p[:, :10, None] == gt[:, None, :]).any(1).mean())
+        assert rec >= 0.97, rec

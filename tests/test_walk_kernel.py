@@ -12,7 +12,9 @@ import numpy as np
 import pytest
 
 from instant_distance_tpu.ops import packed as pk
-from instant_distance_tpu.ops.walk_kernel import pack_walk_meta, walk_search
+from instant_distance_tpu.ops.walk_kernel import (pack_walk_fused,
+                                                  pack_walk_meta,
+                                                  walk_search)
 
 
 def _mk_graph(rng, n, d, k):
@@ -42,7 +44,8 @@ def _seed_beams(rng, pts, queries, n, ef, n_seed):
 
 
 @pytest.mark.parametrize("expand", [1, 2])
-def test_walk_kernel_matches_xla_beam(expand):
+@pytest.mark.parametrize("merge", ["count", "extract"])
+def test_walk_kernel_matches_xla_beam(expand, merge):
     rng = np.random.default_rng(7)
     n, d, k, ef, b = 300, 32, 8, 12, 16
     pts, adj, pcodes, pscales = _mk_graph(rng, n, d, k)
@@ -59,7 +62,37 @@ def test_walk_kernel_matches_xla_beam(expand):
     kd, kpids = walk_search(
         jnp.asarray(queries), bd0, bp0, pcodes, jnp.asarray(meta),
         kp=kp, expand=expand, ef=ef, max_iters=8 * ef + 16, bq=8,
-        interpret=True)
+        interpret=True, merge=merge)
+
+    np.testing.assert_array_equal(np.asarray(xp), np.asarray(kpids))
+    np.testing.assert_allclose(np.asarray(xd), np.asarray(kd),
+                               rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("expand", [1, 2])
+def test_walk_kernel_fused_rows_matches_xla_beam(expand):
+    """Fused-row layout (metadata byte-planes inline, one DMA per
+    expansion) must reproduce the XLA beam exactly too — covers the
+    byte-plane int32/f32 reconstruction arithmetic."""
+    rng = np.random.default_rng(11)
+    n, d, k, ef, b = 200, 128, 8, 12, 16
+    pts, adj, pcodes, pscales = _mk_graph(rng, n, d, k)
+    queries = rng.standard_normal((b, d)).astype(np.float32)
+    bd0, bp0 = _seed_beams(rng, pts, queries, n, ef, n_seed=64)
+
+    ids = jnp.asarray(adj)
+    xd, xp = pk.beam_search_packed(
+        jnp.asarray(queries), ids, pcodes, pscales,
+        bd0, bp0, jnp.zeros((b, ef), bool),
+        max_iters=8 * ef + 16, expand=expand)
+
+    frow = pack_walk_fused(np.asarray(ids), np.asarray(pscales),
+                           np.asarray(pcodes))
+    kd, kpids = walk_search(
+        jnp.asarray(queries), bd0, bp0, jnp.asarray(frow),
+        jnp.zeros((1, 128), jnp.int32),
+        kp=64, expand=expand, ef=ef, max_iters=8 * ef + 16, bq=8,
+        interpret=True, fused_rows=True)
 
     np.testing.assert_array_equal(np.asarray(xp), np.asarray(kpids))
     np.testing.assert_allclose(np.asarray(xd), np.asarray(kd),

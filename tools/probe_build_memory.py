@@ -48,7 +48,10 @@ def probe(n: int, d: int, points_dtype="float32",
 
     cap_rows = max(pack, sum(_pal(c) for (_, c) in sizes[:-1]))
     S = jax.ShapeDtypeStruct
-    pts_s = S((n, d), jnp.dtype(points_dtype))
+    # build_graph pads scan-mode device points to a 128-lane multiple
+    # (kills the per-program tiled-copy staging of compact arguments)
+    d_dev = d + ((-d) % 128 if search_mode.startswith("scan") else 0)
+    pts_s = S((n, d_dev), jnp.dtype(points_dtype))
     # operand shapes via eval_shape so they can't drift from the code
     main_ops, _ = jax.eval_shape(
         lambda p: C._scan_operands(p, search_mode, "sqeuclidean",
@@ -100,7 +103,12 @@ def probe(n: int, d: int, points_dtype="float32",
                   flush=True)
         return True
 
-    # split programs — what scan-mode build_graph actually runs
+    # split programs — what scan-mode build_graph actually runs,
+    # including the lane-packed (pk) adjacency shapes
+    pk_ = C._pk_factor(m0)
+    prow = (n + 1 + pk_ - 1) // pk_
+    adj_s = S((prow, pk_ * m0), jnp.int32)
+    adjd_s = S((prow, pk_ * m0), jnp.dtype(cache_dtype))
     s_args = (args[2], pts_s, None, None, args[6], args[7],
               *main_ops, None)
     s_kw = dict(metric_name="sqeuclidean",
@@ -110,13 +118,21 @@ def probe(n: int, d: int, points_dtype="float32",
                 search_mode=search_mode, pd_dtype=kw["pd_dtype"],
                 hop_repair=0)
     sel_s = (S((wave, m0), jnp.float32), S((wave, m0), jnp.int32))
-    c_args = (args[0], args[1], args[2], pts_s, *sel_s)
+    c_args = (adj_s, adjd_s, args[2], pts_s, *sel_s)
     c_kw = dict(metric_name="sqeuclidean", m0=m0, heuristic=heur,
                 rev_chunk=8192, pend_cap=pend_cap,
-                rev_rounds=rev_rounds, pd_dtype=kw["pd_dtype"])
-    ok = _compile("search", C._search_step, s_args, s_kw)
+                rev_rounds=rev_rounds, pd_dtype=kw["pd_dtype"],
+                pk=pk_, n_points=n)
+    ok = _compile(
+        "quantize",
+        jax.jit(C._scan_operands, static_argnames=("search_mode",
+                                                   "metric_name",
+                                                   "exact_prefix")),
+        (pts_s,), dict(search_mode=search_mode,
+                       metric_name="sqeuclidean",
+                       exact_prefix=exact_prefix))
+    ok &= _compile("search", C._search_step, s_args, s_kw)
     ok &= _compile("commit", C._commit_step, c_args, c_kw)
-    ok &= _compile("monolith", C._wave_step, args, kw)
     return ok
 
 

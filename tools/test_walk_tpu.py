@@ -53,11 +53,31 @@ bd0 = jnp.full((B, EF), jnp.inf, jnp.float32).at[:, :EF].set(sd)
 bp0 = jnp.full((B, EF), -1, jnp.int32).at[:, :EF].set(sp)
 force_ready((bd0, bp0))
 
-t0 = time.time()
-kd, kpid = walk_search(queries, bd0, bp0, pcodes, meta, kp=kp,
-                       expand=EXPAND, ef=EF, max_iters=MAX_IT, bq=128)
-force_ready((kd, kpid))
-print(f"kernel compile+run: {time.time()-t0:.1f}s")
+from instant_distance_tpu.ops.walk_kernel import pack_walk_fused
+
+frow = jnp.asarray(pack_walk_fused(adj, np.asarray(pscales),
+                                   np.asarray(pcodes)))
+dummy = jnp.zeros((1, 128), jnp.int32)
+
+VARIANTS = {
+    "split/count":   dict(ops=(pcodes, meta), kp=kp, fused_rows=False,
+                          merge="count"),
+    "split/extract": dict(ops=(pcodes, meta), kp=kp, fused_rows=False,
+                          merge="extract"),
+    "fused/count":   dict(ops=(frow, dummy), kp=64, fused_rows=True,
+                          merge="count"),
+    "fused/extract": dict(ops=(frow, dummy), kp=64, fused_rows=True,
+                          merge="extract"),
+}
+
+
+def run_variant(name, bq=128):
+    v = VARIANTS[name]
+    c, m = v["ops"]
+    return walk_search(queries, bd0, bp0, c, m, kp=v["kp"],
+                       expand=EXPAND, ef=EF, max_iters=MAX_IT, bq=bq,
+                       fused_rows=v["fused_rows"], merge=v["merge"])
+
 
 t0 = time.time()
 xd, xp = pk.beam_search_packed(queries, ids, pcodes, pscales, bd0, bp0,
@@ -66,9 +86,15 @@ xd, xp = pk.beam_search_packed(queries, ids, pcodes, pscales, bd0, bp0,
 force_ready((xd, xp))
 print(f"xla compile+run:    {time.time()-t0:.1f}s")
 
-pm = np.mean(np.asarray(xp) == np.asarray(kpid))
-top1 = np.mean(np.asarray(xp)[:, 0] == np.asarray(kpid)[:, 0])
-print(f"beam pid agreement: {pm:.4f}  top1: {top1:.4f}")
+for name in VARIANTS:
+    t0 = time.time()
+    kd, kpid = run_variant(name)
+    force_ready((kd, kpid))
+    pm = np.mean(np.asarray(xp) == np.asarray(kpid))
+    top1 = np.mean(np.asarray(xp)[:, 0] == np.asarray(kpid)[:, 0])
+    print(f"{name:14s} compile+run {time.time()-t0:5.1f}s  "
+          f"beam pid agreement: {pm:.4f}  top1: {top1:.4f}")
+
 
 def timeit(f, reps=8):
     f()  # warm
@@ -78,11 +104,12 @@ def timeit(f, reps=8):
     force_ready(r[0])
     return (time.time() - t0) / reps
 
-for bq in (64, 128, 256):
-    tk = timeit(lambda: walk_search(queries, bd0, bp0, pcodes, meta,
-                                    kp=kp, expand=EXPAND, ef=EF,
-                                    max_iters=MAX_IT, bq=bq))
-    print(f"kernel bq={bq}: {tk*1e3:.2f} ms/batch = {B/tk:,.0f} qps")
+
+for name in VARIANTS:
+    for bq in (128, 256):
+        tk = timeit(lambda: run_variant(name, bq=bq))
+        print(f"{name:14s} bq={bq}: {tk*1e3:6.2f} ms/batch = "
+              f"{B/tk:,.0f} qps")
 tx = timeit(lambda: pk.beam_search_packed(
     queries, ids, pcodes, pscales, bd0, bp0,
     jnp.zeros((B, EF), bool), max_iters=MAX_IT, expand=EXPAND))
