@@ -120,6 +120,24 @@ class PackedHnsw:
             self._seed_cache = cached
         return cached
 
+    def _points_lanes(self):
+        """Rerank/entry gather table, 128-lane zero-padded when D needs
+        it: a compact [N, D%128!=0] argument makes every gathering
+        program materialize a full (8,128)-tiled copy of the table
+        (docs/performance.md round 4).  The gathered rows are sliced
+        back to the queries' D inside the programs, so distances are
+        identical.  Only for named metrics; reuses ``self.points``
+        when already aligned."""
+        d = self.points.shape[1]
+        if d % 128 == 0 or not isinstance(self.config.metric, str):
+            return self.points
+        cached = getattr(self, "_lanes_cache", None)
+        if cached is None:
+            cached = jnp.pad(jnp.asarray(self.points),
+                             ((0, 0), (0, (-d) % 128)))
+            self._lanes_cache = cached
+        return cached
+
     # -- fused walk-kernel engine -------------------------------------------
     def _walk_operands(self):
         """(codes [N, K, Dp] int8, meta [N, 2*Kp] i32, kp, d_pad) for the
@@ -218,7 +236,9 @@ class PackedHnsw:
             return bd[:, :k], bp[:, :k]
         metric = resolve(cfg.metric if isinstance(cfg.metric, str)
                          else cfg.metric)
-        exact = metric.gathered(queries, self.points[jnp.clip(bp, 0)])
+        exact = metric.gathered(
+            queries,
+            self._points_lanes()[jnp.clip(bp, 0)][..., :queries.shape[1]])
         exact = jnp.where(bp >= 0, exact, jnp.inf)
         sd_, sp_ = jax.lax.sort((exact, bp), dimension=1, num_keys=2)
         return sd_[:, :k], sp_[:, :k]
@@ -242,7 +262,8 @@ class PackedHnsw:
         k = k or min(10, ef)
         upper_flat = tuple(a for pack in self.upper_packs for a in pack)
         return _packed_search_jit(
-            queries, self.points, tuple(self.zero_pack), upper_flat,
+            queries, self._points_lanes(), tuple(self.zero_pack),
+            upper_flat,
             self._eligible(filter_mask), self._seeds(entry_seeds),
             metric_name=(cfg.metric if isinstance(cfg.metric, str)
                          else cfg.metric),

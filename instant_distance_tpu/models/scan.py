@@ -152,8 +152,14 @@ def scan_candidates(queries, codes, scales, norms, eligible, *,
 
 
 def rerank_exact(queries, points, bi, metric, k: int):
-    """Exact top-k over candidate ids: one ef-row gather per query."""
-    exact = metric.gathered(queries, points[jnp.clip(bi, 0)])
+    """Exact top-k over candidate ids: one ef-row gather per query.
+
+    ``points`` may be 128-lane zero-padded (the compact-argument
+    tiled-copy fix, docs/performance.md round 4) — the gathered rows
+    are sliced back to the queries' D, so distances are computed on
+    the caller's exact compact vectors either way."""
+    rows = points[jnp.clip(bi, 0)][..., :queries.shape[1]]
+    exact = metric.gathered(queries, rows)
     exact = jnp.where(bi >= 0, exact, jnp.inf)
     sd, si = jax.lax.sort((exact, bi), dimension=1, num_keys=2)
     return sd[:, :k], si[:, :k]
@@ -376,6 +382,7 @@ class ScanIndex:
         # (ops/distance.py upcasts to f32 at the metric boundary).
         self.points = jnp.asarray(points, jnp.float32).astype(
             jnp.dtype(store_dtype))
+        self._lanes_cache = None
         self.metric_name = metric
         n = self.points.shape[0]
         self.chunk = int(min(chunk, max(1, n)))
@@ -474,6 +481,22 @@ class ScanIndex:
                     f"filter_mask must be [N]={len(self)}, got {fm.shape}")
             eligible = fm if eligible is None else (eligible & fm)
         return eligible
+
+    def _points_lanes(self):
+        """Rerank gather table, 128-lane zero-padded when D needs it: a
+        compact [N, D%128!=0] argument makes every gathering program
+        materialize a full (8,128)-tiled copy of the table (docs/
+        performance.md round 4) — per BATCH here.  rerank_exact slices
+        the gathered rows back to the queries' D, so results are
+        identical.  Reuses ``self.points`` when already aligned."""
+        d = self.points.shape[1]
+        if d % 128 == 0:
+            return self.points
+        if (self._lanes_cache is None
+                or self._lanes_cache.shape[0] != self.points.shape[0]):
+            self._lanes_cache = jnp.pad(
+                self.points, ((0, 0), (0, (-d) % 128)))
+        return self._lanes_cache
 
     # -- fused Pallas path ---------------------------------------------------
     _FUSED_QB, _FUSED_CB = 256, 4096
@@ -597,7 +620,7 @@ class ScanIndex:
             if mode == "bucket_pack":
                 codes_t, norms_r, sg = self._fused_int_arrays(cb * inner)
                 d, i = _fused_int_packed_search_jit(
-                    q, codes_t, norms_r, sg, self.points,
+                    q, codes_t, norms_r, sg, self._points_lanes(),
                     self._eligible(filter_mask),
                     metric_name="sqeuclidean", ef=ef, k=k, lsub=lsub,
                     qb=qb, cb=cb, inner=inner, rerank=rerank,
@@ -606,7 +629,7 @@ class ScanIndex:
             elif mode == "bucket_int":
                 codes_t, norms_r, sg = self._fused_int_arrays(cb * inner)
                 d, i = _fused_int_search_jit(
-                    q, codes_t, norms_r, sg, self.points,
+                    q, codes_t, norms_r, sg, self._points_lanes(),
                     self._eligible(filter_mask),
                     metric_name="sqeuclidean", ef=ef, k=k, lsub=lsub,
                     qb=qb, cb=cb, inner=inner, rerank=rerank,
@@ -616,7 +639,7 @@ class ScanIndex:
                 codes_t, scales_r, norms_r = self._fused_arrays(
                     cb * inner, variant="l2" if is_l2 else fm)
                 d, i = _fused_search_jit(
-                    q, codes_t, scales_r, norms_r, self.points,
+                    q, codes_t, scales_r, norms_r, self._points_lanes(),
                     self._eligible(filter_mask),
                     metric_name=fm, ef=ef, k=k, lsub=lsub,
                     topt=topt, qb=qb, cb=cb, inner=inner, rerank=rerank,
@@ -625,7 +648,8 @@ class ScanIndex:
                 d, i = d[:b], i[:b]
         else:
             d, i = _scan_search_jit(
-                queries, self.codes, self.scales, self.norms, self.points,
+                queries, self.codes, self.scales, self.norms,
+                self._points_lanes(),
                 self._eligible(filter_mask),
                 metric_name=("sqeuclidean" if metric_name == "euclidean"
                              else metric_name),

@@ -943,6 +943,13 @@ def _scan_operands(dev_points, search_mode: str, metric_name,
     return main, flat
 
 
+#: jitted operand builder (one fused program; see the build_graph call
+#: site for why eager execution of this is fatal at large N)
+_scan_operands_jit = functools.partial(
+    jax.jit, static_argnames=("search_mode", "metric_name",
+                              "exact_prefix"))(_scan_operands)
+
+
 def _wave_schedule(start: int, end: int, cap: int):
     """Doubling wave sizes: wave <= points already inserted (so batched
     insertion approximates sequential insertion order)."""
@@ -1062,8 +1069,9 @@ def extend_graph(points, zero, layers, new_points, config: Config,
     pend_cap, rev_rounds = _rev_params(cfg, m0)
     search_mode = _resolve_search_mode(cfg, metric_name)
     exact_prefix = _exact_prefix_of(cfg)
-    main_ops, flat_ops = _scan_operands(all_pts, search_mode,
-                                        metric_name, exact_prefix)
+    main_ops, flat_ops = _scan_operands_jit(
+        all_pts, search_mode=search_mode, metric_name=metric_name,
+        exact_prefix=exact_prefix)
     drops = jnp.int32(0)
     done = 0
     for s, e in _wave_schedule(n_old, n_total, cfg.wave_size):
@@ -1276,8 +1284,14 @@ def build_graph(points, config: Config, progress=None,
         dev_points = jnp.asarray(pts)
     # quantize BEFORE the adjacency arrays exist: its [N, D] f32
     # dequant temporaries (+6 GB at 10M) must not stack on top of them
-    main_ops, flat_ops = _scan_operands(dev_points, search_mode,
-                                        metric_name, exact_prefix)
+    # the operand builder MUST run as one jitted program: eagerly, each
+    # intermediate ([N, D] f32 dequants, per-point AND global-scale
+    # codes) materializes as its own HBM buffer — an op-by-op chain
+    # several times the table size that OOM'd the 10M build even though
+    # the FUSED program needs only ~6 GB of temps
+    main_ops, flat_ops = _scan_operands_jit(
+        dev_points, search_mode=search_mode, metric_name=metric_name,
+        exact_prefix=exact_prefix)
     if main_ops[0] is not None:
         from ..utils.metrics import force_ready
         force_ready(main_ops[0])  # real barrier: quantize temps freed

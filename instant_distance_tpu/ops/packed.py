@@ -270,7 +270,8 @@ def packed_search(queries, zero_pack, upper_packs, points, metric: Metric,
         beam_p = jax.lax.dynamic_update_slice(beam_p, sp, (0, 0))
     else:
         d0 = metric.gathered(
-            queries, points[jnp.zeros((b, 1), jnp.int32)])[:, 0]
+            queries, points[jnp.zeros((b, 1), jnp.int32)]
+            [..., :queries.shape[1]])[:, 0]
         cur_d, cur_p = d0, jnp.zeros(b, jnp.int32)
         for (uids, ucodes, uscales) in upper_packs:
             cur_d, cur_p = greedy_descent_packed(
@@ -285,8 +286,11 @@ def packed_search(queries, zero_pack, upper_packs, points, metric: Metric,
         eligible=eligible)
     if not rerank:
         return bd[:, :k], bp[:, :k]
-    # exact rerank of the final beam (the only exact-point gather)
-    exact = metric.gathered(queries, points[jnp.clip(bp, 0)])
+    # exact rerank of the final beam (the only exact-point gather);
+    # points may be 128-lane zero-padded (tiled-copy fix) -> slice the
+    # gathered rows back to the queries' D
+    exact = metric.gathered(
+        queries, points[jnp.clip(bp, 0)][..., :queries.shape[1]])
     exact = jnp.where(bp >= 0, exact, jnp.inf)
     sd, sp = jax.lax.sort((exact, bp), dimension=1, num_keys=2)
     return sd[:, :k], sp[:, :k]
