@@ -37,17 +37,24 @@ data = synthetic_clustered(N + 8192, D, n_clusters=max(100, N // 100),
 pts, queries = data[:N], data[N:]
 cfg = Config(seed=3, ef_search=50, m=32, wave_size=4096,
              construct_mode="auto")
-t0 = time.time()
-index, ids = Hnsw.build(pts, cfg)
-np.asarray(index.zero[N - 1, 0])
-print(f"build: {time.time()-t0:.1f}s")
+PACK_DUMP = f"/tmp/tune_packed_{N}.npz"  # shared with tune_packed_r4
+if os.path.exists(PACK_DUMP):
+    t0 = time.time()
+    packed = PackedHnsw.load(PACK_DUMP)
+    print(f"pack loaded: {time.time()-t0:.1f}s")
+else:
+    t0 = time.time()
+    index, ids = Hnsw.build(pts, cfg)
+    np.asarray(index.zero[N - 1, 0])
+    print(f"build: {time.time()-t0:.1f}s")
+    t0 = time.time()
+    packed = PackedHnsw.from_index(index, pack_links=32)
+    np.asarray(packed.zero_pack[1][0, 0, 0])
+    print(f"pack: {time.time()-t0:.1f}s")
+    packed.dump(PACK_DUMP)
+    del index
 
-t0 = time.time()
-packed = PackedHnsw.from_index(index, pack_links=32)
-np.asarray(packed.zero_pack[1][0, 0, 0])
-print(f"pack: {time.time()-t0:.1f}s")
-
-bf = BruteForce(np.asarray(index.points))
+bf = BruteForce(np.asarray(packed.points))
 gt_d, gt_i = bf.search_batch(queries[:3072], K_AT)
 gt_i = np.asarray(gt_i)
 del bf

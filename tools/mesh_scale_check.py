@@ -56,10 +56,18 @@ gt_i = np.asarray(gt_i)
 del bf
 
 t0 = time.time()
+
+
+def _prog(done, total, phase):
+    el = time.time() - t0
+    print(f"[mesh] {phase}: {done}/{total} ({el:.0f}s, "
+          f"proj {el * total / max(done, 1):.0f}s)", flush=True)
+
+
 idx = ShardedHnsw.build(pts, Config(seed=3, ef_search=50, m=32,
                                     wave_size=2048,
                                     construct_mode="auto"),
-                        mesh=mesh)
+                        mesh=mesh, progress=_prog)
 print(f"sharded build: {time.time() - t0:.1f}s "
       f"({idx.n_shards} shards x {N // 8} pts)")
 
