@@ -1250,8 +1250,20 @@ def build_graph(points, config: Config, progress=None,
                 if (str(z["key"]) == ckpt_key and "seed" in z.files
                         and (seed is None or int(z["seed"]) == seed)):
                     seed = int(z["seed"])
+                    adjd_np = z["adjd"]
+                    # non-native dtypes (bfloat16) are stored bit-viewed as
+                    # uint16 + a dtype tag: npy round-trips ml_dtypes as
+                    # void |V2, which jnp.asarray rejects (10M resume
+                    # crash).  Legacy untagged checkpoints load as |V2 and
+                    # are viewed back via the config's cache dtype.
+                    want = (str(z["adjd_dtype"]) if "adjd_dtype" in z.files
+                            else str(getattr(cfg, "dist_cache_dtype",
+                                             "float32")))
+                    want = jnp.dtype(want)
+                    if adjd_np.dtype != want:
+                        adjd_np = adjd_np.view(want)
                     ckpt_state = dict(
-                        adj=z["adj"], adjd=z["adjd"],
+                        adj=z["adj"], adjd=adjd_np,
                         stacked=z["stacked"], offsets=z["offsets"].copy(),
                         write_off=int(z["write_off"]),
                         li=int(z["li"]), s=int(z["s"]),
@@ -1331,10 +1343,17 @@ def build_graph(points, config: Config, progress=None,
     def save_ckpt(li, s):
         import os
         tmp = checkpoint + ".tmp"
+        adjd_np = _np_chunked(adjd)
+        adjd_dtype = str(adjd_np.dtype)
+        if adjd_np.dtype not in (np.float32, np.float16, np.float64):
+            # bit-view bfloat16 (and friends) through uint16: the npy
+            # format loses ml_dtypes descriptors (loads back as |V2).
+            adjd_np = adjd_np.view(np.uint16)
         with open(tmp, "wb") as f:
             np.savez(f, key=np.array(ckpt_key), seed=np.uint64(seed),
                      adj=_np_chunked(adj),
-                     adjd=_np_chunked(adjd), stacked=_np_chunked(stacked),
+                     adjd=adjd_np, adjd_dtype=np.array(adjd_dtype),
+                     stacked=_np_chunked(stacked),
                      offsets=offsets, write_off=write_off, li=li, s=s,
                      drops=int(drops))
         os.replace(tmp, checkpoint)

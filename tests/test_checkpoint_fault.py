@@ -41,11 +41,17 @@ def _build_with_crashes(pts, cfg, ckpt, crash_after):
             continue
 
 
-@pytest.mark.parametrize("crash_after", [3, 9])
-def test_crash_resume_bit_exact(tmp_path, crash_after):
+@pytest.mark.parametrize("crash_after,cache_dtype",
+                         [(3, "float32"), (9, "float32"),
+                          (3, "bfloat16")])
+def test_crash_resume_bit_exact(tmp_path, crash_after, cache_dtype):
+    # bfloat16: the npy format loses ml_dtypes descriptors (loads back
+    # as void |V2) — the checkpoint bit-views the distance cache through
+    # uint16 + a dtype tag; this crashed the 10M resume before the fix.
     rng = np.random.default_rng(59)
     pts = rng.random((600, 8), dtype=np.float32)
-    cfg = Config(seed=59, ef_search=32, wave_size=64)
+    cfg = Config(seed=59, ef_search=32, wave_size=64,
+                 dist_cache_dtype=cache_dtype)
 
     ref, ref_ids = Hnsw.build(pts, cfg)   # uninterrupted reference
 
