@@ -35,26 +35,47 @@ def cmd_info(args) -> int:
     import numpy as np
 
     idx = _load(args.index, args.dims)
-    zero = np.asarray(idx.zero)
-    degrees = (zero >= 0).sum(axis=1) if zero.size else np.zeros(0)
     info = {
         "type": type(idx).__name__,
         "points": int(idx.points.shape[0]),
         "dims": int(idx.points.shape[1]) if idx.points.ndim == 2 else 0,
-        "m": idx.config.m,
-        "ef_search": idx.config.ef_search,
-        "layers": [int(np.asarray(l).shape[0]) for l in idx.layers],
-        "mean_degree": float(degrees.mean()) if degrees.size else 0.0,
         "values": len(getattr(idx, "values", []) or []),
     }
+    if hasattr(idx, "zero"):  # graph indices
+        zero = np.asarray(idx.zero)
+        degrees = (zero >= 0).sum(axis=1) if zero.size else np.zeros(0)
+        info.update(
+            m=idx.config.m,
+            ef_search=idx.config.ef_search,
+            layers=[int(np.asarray(l).shape[0]) for l in idx.layers],
+            mean_degree=float(degrees.mean()) if degrees.size else 0.0)
+    else:  # scan indices: no graph, quantized serving arrays
+        info.update(metric=idx.metric_name,
+                    codes_dtype=str(idx.codes.dtype))
     print(json.dumps(info, indent=2))
     return 0
 
 
 def cmd_validate(args) -> int:
+    import numpy as np
+
     from .utils.validate import validate_graph
 
     idx = _load(args.index, args.dims)
+    if not hasattr(idx, "zero"):  # scan index: array-consistency checks
+        n = len(idx)
+        errors = []
+        if idx.codes.shape[0] != n:
+            errors.append(f"codes rows {idx.codes.shape[0]} != {n}")
+        if idx.scales.shape != (n,):
+            errors.append(f"scales shape {idx.scales.shape} != ({n},)")
+        if idx.norms.shape != (n,):
+            errors.append(f"norms shape {idx.norms.shape} != ({n},)")
+        if not bool(np.isfinite(np.asarray(idx.norms)).all()):
+            errors.append("non-finite norms")
+        print(json.dumps({"ok": not errors, "errors": errors, "n": n,
+                          "type": type(idx).__name__}, indent=2))
+        return 0 if not errors else 1
     rep = validate_graph(idx)
     print(json.dumps({
         "ok": rep.ok, "errors": rep.errors, "n": rep.n,
@@ -67,6 +88,14 @@ def cmd_validate(args) -> int:
 def cmd_convert(args) -> int:
     idx = _load(args.src, args.dims)
     fmt = "bincode" if args.dst.endswith((".bin", ".idx")) else "native"
+    if not hasattr(idx, "zero"):
+        if fmt == "bincode":
+            print("scan indices have no graph: bincode export is for "
+                  "graph indices only", file=sys.stderr)
+            return 1
+        idx.dump(args.dst)
+        print(f"wrote {args.dst} (native scan)")
+        return 0
     idx.dump(args.dst, format=fmt)
     print(f"wrote {args.dst} ({fmt})")
     return 0

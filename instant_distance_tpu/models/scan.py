@@ -234,13 +234,13 @@ def _fused_int_search_jit(queries, codes_t, norms_r, sg, points,
 @functools.partial(
     jax.jit,
     static_argnames=("ef", "k", "lsub", "qb", "cb", "inner", "rerank",
-                     "slab", "sel_group", "sel_target", "interpret",
-                     "metric_name"))
+                     "slab", "sel_group", "sel_kgroup", "sel_target",
+                     "interpret", "metric_name"))
 def _fused_int_packed_search_jit(queries, codes_t, norms_r, sg, points,
                                  eligible, *, metric_name, ef, k, lsub,
                                  qb, cb, inner, rerank, slab=False,
-                                 sel_group=0, sel_target=0.95,
-                                 interpret=False):
+                                 sel_group=0, sel_kgroup=0,
+                                 sel_target=0.95, interpret=False):
     """Packed-key int-epilogue fused scan (ops/scan_kernel.py:
     fused_scan_bucket_int_packed): the slab index rides the rank's low
     bits, so the kernel's epilogue is a 2-op key + 1 min per element
@@ -259,16 +259,45 @@ def _fused_int_packed_search_jit(queries, codes_t, norms_r, sg, points,
         npad = norms_r.shape[1] - eligible.shape[0]
         el = jnp.pad(eligible, (0, npad))[None, :]
     w2 = pack_w2(norms_r, denom, el, lsub=lsub, cb=cb, d=d)
-    od = fused_scan_bucket_int_packed(qc, w2, codes_t, lsub=lsub, qb=qb,
-                                      cb=cb, inner=inner, slab=slab,
-                                      interpret=interpret)
+    og = None
+    if sel_kgroup > 1:
+        od, og = fused_scan_bucket_int_packed(
+            qc, w2, codes_t, lsub=lsub, qb=qb, cb=cb, inner=inner,
+            slab=slab, groups=sel_kgroup, interpret=interpret)
+    else:
+        od = fused_scan_bucket_int_packed(
+            qc, w2, codes_t, lsub=lsub, qb=qb, cb=cb, inner=inner,
+            slab=slab, interpret=interpret)
     efk = min(ef, od.shape[1])
     ct = cb // lsub
     # keys are non-negative by the pack_w2 bias, so their f32 BITCAST is
     # order-preserving: approx_min_k runs on the reinterpreted array and
     # no f32-converted copy of [B, N/lsub] is ever materialized.  The
     # exact int keys are re-gathered by position before decoding ids.
-    if sel_group > 1 and od.shape[1] % sel_group == 0 \
+    if og is not None and og.shape[1] >= efk:
+        # In-kernel grouped-min selection: approx_min_k runs on the
+        # kernel's second-level output (sel_kgroup-fold smaller), and
+        # only winner groups' od columns are gathered back — the full
+        # [B, N/lsub] key array is written once and never re-read.
+        # og group gi covers od columns icj*ct + t*ctg + gl (see
+        # fused_scan_bucket_int_packed); candidate-merge semantics match
+        # sel_group (top-ef distinct groups, rerank absorbs the loss).
+        ctg = ct // sel_kgroup
+        b = od.shape[0]
+        _, gidx = jax.lax.approx_min_k(
+            jax.lax.bitcast_convert_type(og, jnp.float32), efk,
+            recall_target=sel_target)                       # [B, efk]
+        base = (gidx // ctg) * ct + (gidx % ctg)            # od columns
+        memb = (base[:, :, None]
+                + (jnp.arange(sel_kgroup, dtype=gidx.dtype)
+                   * ctg)[None, None, :])                   # [B,efk,G]
+        cand = jnp.take_along_axis(
+            od, memb.reshape(b, efk * sel_kgroup),
+            axis=1).reshape(b, efk, sel_kgroup)
+        j = jnp.argmin(cand, axis=2).astype(jnp.int32)
+        keys = jnp.min(cand, axis=2)
+        nidx = base + j * ctg
+    elif sel_group > 1 and od.shape[1] % sel_group == 0 \
             and od.shape[1] // sel_group >= efk:
         # Grouped-min pre-reduction: approx_min_k on [B, N/lsub] runs
         # far below HBM bandwidth (measured ~6.6 ms of a 17 ms batch at
@@ -556,7 +585,7 @@ class ScanIndex:
                      fused=False, topt: int = 8, lsub: int = 16,
                      qb: int = 0, cb: int = 0, inner: int = 1,
                      slab: bool = False, sel_group: int = 0,
-                     sel_target: float = 0.95):
+                     sel_kgroup: int = 0, sel_target: float = 0.95):
         """[B, D] -> (dists [B, k], ids [B, k]); ids = input order.
 
         ``ef`` is the rerank depth (how many scan candidates get exact
@@ -584,6 +613,13 @@ class ScanIndex:
         non-kernel time); candidates become the top-ef distinct-group
         columns — a ~ef*g/(N/lsub) fraction of candidates can merge,
         which the exact rerank absorbs.
+        ``sel_kgroup=g`` (bucket_pack only) moves that grouped min INTO
+        the kernel (the keys are still in registers there): the kernel
+        emits a second g-fold-smaller min array, approx_min_k selects
+        over it, and only winner groups' key columns are gathered back
+        — the full key array is written once and never re-read.  Same
+        distinct-group candidate semantics as ``sel_group``; supersedes
+        it when both are set.
         ``sel_target`` is ``approx_min_k``'s per-candidate recall
         target for the fused paths (XLA's default 0.95 drops ~5% of
         true candidates pre-rerank — the dominant recall loss in the
@@ -625,7 +661,8 @@ class ScanIndex:
                     metric_name="sqeuclidean", ef=ef, k=k, lsub=lsub,
                     qb=qb, cb=cb, inner=inner, rerank=rerank,
                     slab=slab, sel_group=sel_group,
-                    sel_target=sel_target, interpret=interp)
+                    sel_kgroup=sel_kgroup, sel_target=sel_target,
+                    interpret=interp)
             elif mode == "bucket_int":
                 codes_t, norms_r, sg = self._fused_int_arrays(cb * inner)
                 d, i = _fused_int_search_jit(
@@ -714,5 +751,6 @@ class ScanIndex:
             obj._alive = (jnp.asarray(z["alive"])
                           if "alive" in z.files else None)
             obj._fused = None
+            obj._lanes_cache = None
             obj.config = Config(metric=obj.metric_name)
             return obj

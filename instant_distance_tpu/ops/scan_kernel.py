@@ -301,8 +301,9 @@ def pack_w2(norms_row, denom, eligible_row, *, lsub: int, cb: int,
     return jnp.where(ok, w2, PACK_INELIGIBLE)
 
 
-def _bucket_scan_int_packed_kernel(qc_ref, w2_ref, codes_ref, od_ref, *,
-                                   lsub: int, cb: int, inner: int):
+def _bucket_scan_int_packed_kernel(qc_ref, w2_ref, codes_ref, od_ref,
+                                   *rest, lsub: int, cb: int, inner: int,
+                                   groups: int = 0):
     """Packed-key bucket variant: the minimal VPU epilogue.
 
     ``_bucket_scan_int_kernel`` spends 4 VPU ops per score element
@@ -331,11 +332,32 @@ def _bucket_scan_int_packed_kernel(qc_ref, w2_ref, codes_ref, od_ref, *,
         for t in range(1, lsub):
             m = jnp.minimum(m, key[:, t * ct:(t + 1) * ct])
         od_ref[:, j * ct:(j + 1) * ct] = m
+        if groups > 1:
+            _emit_group_min(rest[0], m, j, ct, groups)
+
+
+def _emit_group_min(og_ref, m, j, ct, groups):
+    """Second-level strided min over the per-cell key tile.
+
+    The XLA selection epilogue's cost is reading the full [B, N/lsub]
+    key array back from HBM (grouped-min pass or approx_min_k input —
+    measured ~6.6 ms of a 17 ms batch at 1M x 128).  The keys are
+    already in registers here, so a ``groups``-fold second reduction is
+    ~1 extra VPU op per ``ct/groups`` elements and shrinks what XLA
+    must read by ``groups``x.  Group i holds od columns
+    {cell*ct + t*(ct/groups) + i} — strided slabs again, zero relayout.
+    """
+    ctg = ct // groups
+    gm = m[:, :ctg]
+    for t in range(1, groups):
+        gm = jnp.minimum(gm, m[:, t * ctg:(t + 1) * ctg])
+    og_ref[:, j * ctg:(j + 1) * ctg] = gm
 
 
 def _bucket_scan_int_packed_slab_kernel(qc_ref, w2_ref, codes_ref,
-                                        od_ref, *, lsub: int, cb: int,
-                                        inner: int):
+                                        od_ref, *rest, lsub: int,
+                                        cb: int, inner: int,
+                                        groups: int = 0):
     """Slab-loop form of the packed kernel.
 
     ``_bucket_scan_int_packed_kernel`` materializes the full [qb, cb]
@@ -359,14 +381,17 @@ def _bucket_scan_int_packed_slab_kernel(qc_ref, w2_ref, codes_ref,
             key = w2_ref[:, sl] - dot * lsub
             m = key if m is None else jnp.minimum(m, key)
         od_ref[:, j * ct:(j + 1) * ct] = m
+        if groups > 1:
+            _emit_group_min(rest[0], m, j, ct, groups)
 
 
 @functools.partial(
     jax.jit, static_argnames=("lsub", "qb", "cb", "inner", "slab",
-                              "interpret"))
+                              "groups", "interpret"))
 def fused_scan_bucket_int_packed(qc, w2, codes_t, *, lsub: int = 32,
                                  qb: int = 512, cb: int = 4096,
                                  inner: int = 1, slab: bool = False,
+                                 groups: int = 0,
                                  interpret: bool = False):
     """Packed-key int-epilogue fused scan.
 
@@ -384,6 +409,16 @@ def fused_scan_bucket_int_packed(qc, w2, codes_t, *, lsub: int = 32,
     PACK_THRESH) and the bias cannot overflow.
     ``slab=True`` selects the slab-loop kernel body (identical output;
     see ``_bucket_scan_int_packed_slab_kernel``).
+
+    ``groups > 1`` additionally returns ``og [B, N/(lsub*groups)]``, a
+    second-level min over ``groups``-wide strided column groups of the
+    keys (computed in-kernel while they are still in registers — see
+    ``_emit_group_min``).  og's group i covers od columns
+    ``cell*ct + t*(ct/groups) + (i % (ct/groups))`` for t in
+    [0, groups), where cell = i // (ct/groups) indexes the
+    (inner-sub-chunked) kernel tiles and ct = cb // lsub.  The XLA
+    selection runs approx_min_k on og and re-gathers only winner
+    groups' od columns, never reading the full key array back.
     """
     b, d = qc.shape
     n = codes_t.shape[1]
@@ -398,13 +433,36 @@ def fused_scan_bucket_int_packed(qc, w2, codes_t, *, lsub: int = 32,
             "(use fused_scan_bucket_int)")
     if not interpret and ct % 128 != 0:
         raise ValueError(f"cb/lsub = {ct} must be a multiple of 128")
+    if groups > 1:
+        if groups & (groups - 1) or ct % groups:
+            raise ValueError(f"groups must be a power of two dividing "
+                             f"cb/lsub = {ct}, got {groups}")
+        if not interpret and (ct // groups) % 128 != 0:
+            raise ValueError(
+                f"cb/(lsub*groups) = {ct // groups} must be a multiple "
+                "of 128 lanes")
     nc = n // cbo
     grid = (nc, b // qb)
 
     body = (_bucket_scan_int_packed_slab_kernel if slab
             else _bucket_scan_int_packed_kernel)
-    kernel = functools.partial(body, lsub=lsub, cb=cb, inner=inner)
-    (od,) = pl.pallas_call(
+    kernel = functools.partial(body, lsub=lsub, cb=cb, inner=inner,
+                               groups=groups)
+    out_specs = [
+        pl.BlockSpec((qb, inner * ct), lambda ic, iq: (iq, ic),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, nc * inner * ct), jnp.int32),
+    ]
+    if groups > 1:
+        ctg = ct // groups
+        out_specs.append(
+            pl.BlockSpec((qb, inner * ctg), lambda ic, iq: (iq, ic),
+                         memory_space=pltpu.VMEM))
+        out_shape.append(
+            jax.ShapeDtypeStruct((b, nc * inner * ctg), jnp.int32))
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -415,18 +473,15 @@ def fused_scan_bucket_int_packed(qc, w2, codes_t, *, lsub: int = 32,
             pl.BlockSpec((d, cbo), lambda ic, iq: (0, ic),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((qb, inner * ct), lambda ic, iq: (iq, ic),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, nc * inner * ct), jnp.int32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(qc, w2, codes_t)
-    return od
+    if groups > 1:
+        return out[0], out[1]
+    return out[0]
 
 
 def _probe_kernel(qc_ref, w2_ref, codes_ref, od_ref, *, lsub: int,

@@ -86,7 +86,11 @@ def load_native(fname: str):
     from ..models.hnsw import Hnsw, HnswMap
 
     with np.load(fname, allow_pickle=False) as z:
-        if str(z["magic"]) != _MAGIC:
+        magic = str(z["magic"]) if "magic" in z.files else ""
+        if magic == "instant-distance-tpu/scan/v1":
+            from ..models.scan import ScanIndex
+            return ScanIndex.load(fname)
+        if magic != _MAGIC:
             raise ValueError(f"{fname}: not an instant-distance-tpu index")
         cfg = _config_from_json(str(z["config"]))
         points = z["points"]

@@ -249,6 +249,43 @@ def test_sel_group_respects_filter(data):
     assert (got[got >= 0] < len(pts) // 2).all()
 
 
+def test_sel_kgroup_recall_matches_full_selection(data):
+    """In-kernel grouped-min selection (sel_kgroup): the kernel emits a
+    second g-fold-smaller min array and the XLA side gathers only
+    winner groups — an og-layout/decode bug would crater recall."""
+    pts, queries, gt = data
+    scan = ScanIndex(pts)
+    _, p_full = scan.search_batch(queries, fused="bucket_pack", **KW)
+    for g in (2, 8):
+        _, p_kg = scan.search_batch(queries, fused="bucket_pack",
+                                    sel_kgroup=g, **KW)
+        r_full, r_kg = _recall(p_full, gt), _recall(p_kg, gt)
+        assert r_full >= 0.95
+        assert r_kg >= r_full - 0.02, f"kgroup{g} {r_kg} vs {r_full}"
+
+
+def test_sel_kgroup_slab_body_matches(data):
+    """The slab-loop kernel body must emit identical group minima."""
+    pts, queries, gt = data
+    scan = ScanIndex(pts)
+    d1, p1 = scan.search_batch(queries, fused="bucket_pack",
+                               sel_kgroup=4, **KW)
+    d2, p2 = scan.search_batch(queries, fused="bucket_pack",
+                               sel_kgroup=4, slab=True, **KW)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+
+def test_sel_kgroup_respects_filter(data):
+    pts, queries, gt = data
+    scan = ScanIndex(pts)
+    mask = np.zeros(len(pts), bool)
+    mask[: len(pts) // 2] = True
+    _, p = scan.search_batch(queries, filter_mask=mask,
+                             fused="bucket_pack", sel_kgroup=8, **KW)
+    got = np.asarray(p)
+    assert (got[got >= 0] < len(pts) // 2).all()
+
+
 def test_sel_group_falls_back_when_too_coarse(data):
     """ef exceeding the group count must silently fall back to the
     full-width selection rather than truncating the beam."""
