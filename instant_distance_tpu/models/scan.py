@@ -562,9 +562,15 @@ class ScanIndex:
         """Shared-scale layout for the int-epilogue kernel: ONE global
         point scale (vs per-point in ``codes``) so ranking needs no
         per-element scale multiply.  Resolution loss for small-norm
-        points is repaired by the exact rerank."""
+        points is repaired by the exact rerank.  Cached per padded
+        length (dict): tuning tools interleave variants with different
+        cb*inner, and a single-slot cache would rebuild the [D, N]
+        transpose inside their timed regions."""
         cached = getattr(self, "_fused_int", None)
-        if cached is None or cached[0] != cb:
+        if not isinstance(cached, dict):
+            cached = {}
+            self._fused_int = cached
+        if cb not in cached:
             pts = jnp.asarray(self.points, jnp.float32)
             sg = jnp.maximum(jnp.max(jnp.abs(pts)), 1e-30) / 127.0
             codes_g = jnp.clip(jnp.round(pts / sg), -127,
@@ -576,8 +582,8 @@ class ScanIndex:
             codes_t = jnp.pad(codes_g, ((0, npad), (0, 0))).T
             norms_r = jnp.pad(norms_g, (0, npad),
                               constant_values=np.inf)[None, :]
-            self._fused_int = (cb, codes_t, norms_r, sg)
-        return self._fused_int[1:]
+            cached[cb] = (codes_t, norms_r, sg)
+        return cached[cb]
 
     def search_batch(self, queries, k: int = 10, ef: Optional[int] = None,
                      rerank: bool = True, filter_mask=None,

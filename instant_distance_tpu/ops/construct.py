@@ -1156,6 +1156,12 @@ def _slice_rows(x, i, rows: int):
     return jax.lax.dynamic_slice_in_dim(x, i, rows, axis=0)
 
 
+#: Upper-layer snapshot copy granularity (rows per chunk) at the
+#: layer-transition; bounded so the gather temps stay ~100 MB at any
+#: scale (tests shrink it to exercise the multi-chunk path).
+_SNAP_CHUNK_ROWS = 1 << 18
+
+
 def _np_chunked(x, max_bytes: int = 1 << 28):
     """Device -> host readback in bounded row chunks.
 
@@ -1436,17 +1442,39 @@ def build_graph(points, config: Config, progress=None,
                     stacked, (int(offsets[li]) // pack, 0),
                     (_pal(end) // pack, m * pack)).reshape(-1, m)[:end]
             else:
+                end_p = _pal(end)
                 if pk == 1:
                     snap = adj[:end, :m]
+                    snap_p = jnp.pad(snap, ((0, end_p - end), (0, 0)),
+                                     constant_values=-1)
+                    stacked = jax.lax.dynamic_update_slice(
+                        stacked, snap_p.reshape(end_p // pack, m * pack),
+                        (write_off // pack, 0))
                 else:
-                    snap = _pk_row_get(adj, jnp.arange(end), pk,
-                                       m0)[:, :m]
-                end_p = _pal(end)
-                snap_p = jnp.pad(snap, ((0, end_p - end), (0, 0)),
-                                 constant_values=-1)
-                stacked = jax.lax.dynamic_update_slice(
-                    stacked, snap_p.reshape(end_p // pack, m * pack),
-                    (write_off // pack, 0))
+                    # Chunked snapshot: a one-shot gather of all `end`
+                    # rows materializes [end, m0]+pad+copy temps (~2 GB
+                    # at the 10M layer-1 transition) on a near-full
+                    # chip — the 10M resume OOM'd exactly here.  Copy
+                    # pack-aligned row chunks into the stacked buffer
+                    # and slice the snapshot back out of it.
+                    ch = max(pack, (_SNAP_CHUNK_ROWS // pack) * pack)
+                    i = 0
+                    while i < end:
+                        j = min(i + ch, end)
+                        rows = _pk_row_get(adj, jnp.arange(i, j), pk,
+                                           m0)[:, :m]
+                        cp = _pal(j - i)
+                        if cp > j - i:
+                            rows = jnp.pad(rows,
+                                           ((0, cp - (j - i)), (0, 0)),
+                                           constant_values=-1)
+                        stacked = jax.lax.dynamic_update_slice(
+                            stacked, rows.reshape(cp // pack, m * pack),
+                            ((write_off + i) // pack, 0))
+                        i = j
+                    snap = jax.lax.dynamic_slice(
+                        stacked, (write_off // pack, 0),
+                        (end_p // pack, m * pack)).reshape(-1, m)[:end]
                 offsets[li] = write_off
                 write_off += end_p
             layers.append(snap)
@@ -1458,14 +1486,23 @@ def build_graph(points, config: Config, progress=None,
     layers.reverse()  # store as reference does: layers[l-1] = level l
     reverse_drops = int(drops)  # one device readback, post-pipeline
     _warn_reverse_drops(reverse_drops, pend_cap, rev_rounds)
+    # Free build-only device state BEFORE the final copies: the distance
+    # cache + quantized scan operands total ~2.6 GB at 10M and the
+    # adjacency slice + compact-point re-upload below peak another
+    # ~6.4 GB — sequencing the frees first keeps the tail under ~12 GB
+    # instead of ~15 on a 15.75 GB chip.
+    adjd = None  # noqa: F841  (cell var: save_ckpt never runs again)
+    main_ops = flat_ops = None  # noqa: F841
+    stacked = None  # noqa: F841  (snapshots already sliced out)
     if pk > 1:
         # unpack to the BuiltGraph contract ([N, m0]); row-major reshape
         # is the exact inverse of the packed layout (see _pk_* helpers)
         adj = adj.reshape(-1, m0)
+    adj = adj[:n]  # slice while the padded points are NOT yet doubled
     if pad_d:
         # hand back COMPACT points (the BuiltGraph/Hnsw contract): a
         # fresh host upload, not a device slice — slicing would both
         # hold the padded copy and re-trigger the tiled-copy staging
         dev_points = jnp.asarray(pts)
-    return BuiltGraph(dev_points, adj[:n], layers, ids, cfg,
+    return BuiltGraph(dev_points, adj, layers, ids, cfg,
                       reverse_drops=reverse_drops)

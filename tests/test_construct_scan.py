@@ -41,6 +41,25 @@ def test_scan_mode_meets_recall_floor(pts):
     assert r >= 0.97, f"scan-mode recall {r}"
 
 
+def test_chunked_snapshot_bit_exact(pts, monkeypatch):
+    """The layer-transition snapshot is copied into the stacked buffer
+    in bounded row chunks (the one-shot gather OOM'd the 10M build);
+    shrinking the chunk so several are needed must not change the
+    graph at all."""
+    from instant_distance_tpu.ops import construct as C
+
+    data, queries = pts
+    cfg = Config(seed=67, wave_size=512, construct_mode="scan")
+    ref, ref_ids = Hnsw.build(data, cfg)
+    monkeypatch.setattr(C, "_SNAP_CHUNK_ROWS", 16)
+    idx, ids = Hnsw.build(data, cfg)
+    np.testing.assert_array_equal(ids, ref_ids)
+    np.testing.assert_array_equal(np.asarray(idx.zero),
+                                  np.asarray(ref.zero))
+    for a, b in zip(idx.layers, ref.layers):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_scan_vs_beam_recall(pts):
     data, queries = pts
     scan_idx, sids = Hnsw.build(data, Config(seed=67, wave_size=512,
