@@ -3,6 +3,8 @@
 # never run CPU-heavy work concurrently — CLAUDE.md).
 #
 # Stages:
+#   kgroup   — fused-scan epilogue sweep (sel_kgroup in-kernel grouped
+#              min vs anchor), interleaved vs the XLA scan (~30 min)
 #   walkvar  — walk-kernel variant matrix (split/fused x count/extract)
 #              vs the XLA packed beam on a 200k random graph (~10 min)
 #   sweep    — r4 packed serving sweep at 1M (seeds-up/walk-lean corner
@@ -26,8 +28,9 @@ run() {
     echo "=== $name rc=$? (tail):"; tail -5 "/tmp/q_$name.log"
 }
 
-for stage in "${@:-walkvar sweep walkreal}"; do
+for stage in "${@:-kgroup walkvar sweep walkreal}"; do
   case "$stage" in
+    kgroup)   run kgroup 3600 tools/tune_kgroup.py ;;
     walkvar)  run walkvar 1800 tools/test_walk_tpu.py 200000 ;;
     sweep)    run sweep 5400 tools/tune_packed_r4.py ;;
     walkreal) run walkreal 1800 tools/bench_walk_real.py 1000000 ;;
