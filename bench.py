@@ -301,6 +301,13 @@ def main() -> None:
                                lsub=32, ef=32),
         "scan_fused_pack": dict(fused="bucket_pack", qb=1024, cb=8192,
                                 lsub=64, inner=2, ef=32),
+        # r4: in-kernel grouped-min selection (sel_kgroup) — the kernel
+        # emits a second g-fold-smaller min array, approx_min_k selects
+        # over it, and only winner groups' key columns are gathered
+        # back (the full key array is never re-read from HBM).  Shape
+        # from tools/tune_kgroup.py; needs cb/(lsub*g) = 128 lanes.
+        "scan_fused_kgroup": dict(fused="bucket_pack", qb=1024, cb=16384,
+                                  lsub=64, inner=1, sel_kgroup=2, ef=32),
     }
     # hardware-tuned overrides (tools/tune_scan_kernel.py results)
     tuned = os.environ.get("INSTANT_TPU_BENCH_FUSED_TUNED")
@@ -431,6 +438,15 @@ def main() -> None:
     # linear thread scaling is the baseline-generous projection (real
     # chips share memory bandwidth, so true 8-core QPS would be lower).
     base_qps_8c = base_qps * 8 if base_qps else None
+    # fused variants beyond the three long-standing names ride along
+    # generically so new sweeps appear in the recorded JSON untouched
+    extra_fused = {}
+    for name_, (f_qps_, f_rec_, f_min_) in fused_res.items():
+        if name_ in ("scan_fused", "scan_fused_int", "scan_fused_pack"):
+            continue
+        extra_fused[f"{name_}_qps"] = round(f_qps_, 1)
+        extra_fused[f"{name_}_recall_at_10"] = round(f_rec_, 4)
+        extra_fused[f"{name_}_recall_min_at_10"] = round(f_min_, 4)
     emit(
         metric=f"batched_qps_sift1m_like_n{n}_ef{ef}",
         value=round(best_qps, 1),
@@ -498,6 +514,7 @@ def main() -> None:
                                     else None),
         hybrid_threshold=hybrid_threshold,
         device=str(jax.devices()[0]),
+        **extra_fused,
     )
 
 
