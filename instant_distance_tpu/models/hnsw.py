@@ -120,6 +120,19 @@ class Search:
         return int((self._pids >= 0).sum())
 
 
+def _check_points(arr, what: str, dim: Optional[int] = None):
+    """API-boundary shape validation (reference FloatArray::try_from,
+    py src/lib.rs:363-376 rejects wrong-dimension points with a clear
+    error instead of a deep XLA broadcast failure)."""
+    if arr.ndim != 2:
+        raise ValueError(
+            f"{what} must be a [N, D] 2-D array, got shape {tuple(arr.shape)}")
+    if dim is not None and arr.shape[0] and arr.shape[1] != dim:
+        raise ValueError(
+            f"{what} dim {arr.shape[1]} != index dim {dim}")
+    return arr
+
+
 class Hnsw:
     """Immutable HNSW index (reference lib.rs:193-397).
 
@@ -167,6 +180,7 @@ class Hnsw:
         accelerator is attached; same construction recipe).
         """
         config = config or Config()
+        _check_points(np.asarray(points, np.float32), "points")
         if backend == "native":
             from ..native import NativeHnsw
 
@@ -195,6 +209,7 @@ class Hnsw:
         new_pts = np.asarray(new_points, np.float32)
         if new_pts.ndim == 1:
             new_pts = new_pts[None]
+        _check_points(new_pts, "new points", self.points.shape[1])
         n_old = len(self)
         pts, zero, adjd = extend_graph(
             self.points, self.zero, self.layers, new_pts, self.config,
@@ -265,6 +280,7 @@ class Hnsw:
         single = queries.ndim == 1
         if single:
             queries = queries[None]
+        _check_points(queries, "queries", self.points.shape[1])
         ef = ef or self.config.ef_search
         k = k or ef
         if k > ef:
