@@ -225,6 +225,15 @@ def main() -> None:
                 except Exception as exc:
                     print(f"[bench] packed {name} failed: {exc}",
                           file=sys.stderr)
+                finally:
+                    # the kernel variant's fused walk rows are an extra
+                    # [N, K+4, 128] int8 copy (~4.6 GB at 1M): drop them
+                    # the moment that variant is done, or the seeded/
+                    # descent runs execute with them pinned in HBM
+                    if name == "kernel":
+                        packed._walk_cache_fused = None
+                        packed._walk_cache = None
+                        gc.collect()
             if variants:
                 ok = [v for v in variants if v[2] >= 0.95] or variants
                 (packed_qps, packed_recall, packed_recall_min,
@@ -245,6 +254,17 @@ def main() -> None:
                       f"{packed.nbytes() / 1e9:.1f} GB)", file=sys.stderr)
         except Exception as exc:
             print(f"[bench] packed path failed: {exc}", file=sys.stderr)
+        finally:
+            # r4's tail stages (scan re-time, single-query p50, hybrid
+            # p50) died RESOURCE_EXHAUSTED because the packed index
+            # (~4 GB inline int8 codes + seed/lane caches) stayed
+            # referenced for the rest of the bench.  Nothing after this
+            # point uses it — release its HBM before the scan stage.
+            try:
+                del packed
+            except NameError:
+                pass
+            gc.collect()
 
     # ScanIndex (int8 MXU exhaustive scan + exact rerank): near-exact
     # recall at graph-serving throughput — the TPU-native answer to the
