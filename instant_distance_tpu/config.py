@@ -160,6 +160,26 @@ class Config:
     #: build's 0.9773 at 569 s.  Beam-mode builds ignore this and use
     #: ef_construction verbatim (reference parity).
     construct_pool: Optional[int] = None
+    #: Scan-mode candidate-search SAMPLE cap (points).  None = every
+    #: wave scans the full inserted prefix — per-wave cost grows with N
+    #: and the whole build is O(N^2 / wave_size), ~1.1k pts/s at 10M vs
+    #: ~3.5k at 1M.  Set to cap the scanned prefix: waves scan only the
+    #: FIRST ``min(prefix, cap)`` inserted pids — a uniform sample of
+    #: the dataset, because insertion order is a seeded shuffle
+    #: (lib.rs:256-270) — so per-wave scan cost is O(cap) at any N.
+    #: True neighbors outside the sample are recovered in the commit
+    #: program by a graph-hop repair over the pre-wave adjacency (the
+    #: sample points' rows accumulate reverse edges to ALL inserted
+    #: points, so one hop reaches the unsampled neighborhood; see
+    #: ``construct_sample_hops``).  The cap is rounded up to the scan
+    #: kernel's point-block multiple.
+    construct_sample_cols: Optional[int] = None
+    #: With ``construct_sample_cols`` active: each wave point's top-H
+    #: pool candidates are hop-expanded through the pre-wave graph
+    #: (exact rerank, deduped) before Alg. 4 selection — the repair
+    #: runs inside the commit program, which already holds the
+    #: adjacency, so the split search/commit memory plan survives.
+    construct_sample_hops: int = 16
 
     def __post_init__(self) -> None:
         if self.ef_construction < 1 or self.ef_search < 1:

@@ -276,6 +276,7 @@ def search_select_core(wave_pids, points, stacked, offsets, n_upper,
                        heuristic, max_iter_factor: int, expand: int = 1,
                        search_mode: str = "beam",
                        pd_dtype: str = "bfloat16", hop_repair: int = 0,
+                       return_pool: bool = False,
                        debug_iters: bool = False):
     """Wave search + forward selection (Alg. 1-4 up to lib.rs:465-473).
 
@@ -334,8 +335,6 @@ def search_select_core(wave_pids, points, stacked, offsets, n_upper,
         qc = jnp.clip(jnp.round(q / qs), -127, 127).astype(jnp.int8)
         denom = 2.0 * qs * sg
         col = jax.lax.broadcasted_iota(jnp.int32, norms.shape, 1)
-        w2 = pack_w2(norms, denom, col < filled, lsub=lsub, cb=cbk,
-                     d=q.shape[1])
         qb = max(32, min(256, w))      # int8 sublane minimum is 32
         qpad = (-w) % qb
         if qpad:
@@ -539,6 +538,18 @@ def search_select_core(wave_pids, points, stacked, offsets, n_upper,
         cand_d, cand_p = jax.lax.sort((cd, cp), dimension=1, num_keys=2)
         cand_d, cand_p = cand_d[:, :efc], cand_p[:, :efc]
 
+    # --- pool handoff (sampled builds): selection moves into the commit
+    # program, after its graph-hop repair widens the pool with
+    # neighbors the capped sample scan could not see (repair needs the
+    # adjacency, which only the commit program holds — the split
+    # search/commit memory plan survives; see repair_commit_core) ------
+    if return_pool:
+        cand_p = jnp.where(wvalid[:, None], cand_p, -1)
+        cand_d = jnp.where(cand_p >= 0, cand_d, jnp.inf)
+        if debug_iters:
+            return cand_d, cand_p, search_iters
+        return cand_d, cand_p
+
     # --- forward selection (lib.rs:465-473) -----------------------------
     if heuristic is None:
         sel_d, sel_p = sel_ops.select_simple(cand_d, cand_p, m0)
@@ -704,6 +715,70 @@ def commit_core(adj, adjd, wave_pids, points, sel_d, sel_p, *,
     return adj, adjd, n_dropped
 
 
+def repair_commit_core(adj, adjd, wave_pids, points, cand_d, cand_p, *,
+                       metric_name, m0: int, heuristic, rev_chunk: int,
+                       pend_cap: int, rev_rounds: int = 4,
+                       pd_dtype: str = "bfloat16", pk: int = 1,
+                       n_points: int = -1, hops: int = 16):
+    """Graph-hop pool repair + Alg. 3/4 selection + commit — one program
+    (sampled scan builds, Config.construct_sample_cols).
+
+    The capped sample scan can miss true neighbors outside the sampled
+    prefix; with high probability those are adjacent in the PRE-WAVE
+    graph to candidates that WERE found (sample points' rows accumulate
+    reverse edges from every later insert, lib.rs:481-515), so one hop
+    over the adjacency recovers them before selection.  The hop needs
+    ``adj`` — running it here instead of in the wave search keeps the
+    search program adjacency-free, preserving the split search/commit
+    memory plan that the 10M build needs (see build_graph).
+
+    ``cand_d``/``cand_p`` are the search program's candidate pool
+    (``return_pool=True``), exact-reranked and wave-peer-merged.
+    """
+    metric = resolve(metric_name)
+    w, efc = cand_p.shape
+    wvalid = wave_pids >= 0
+    q = points[jnp.clip(wave_pids, 0)]
+    if q.dtype != jnp.float32:
+        q = q.astype(jnp.float32)
+    h = min(hops, efc)
+    if h > 0:
+        top_p = cand_p[:, :h]
+        nb = _pk_row_get(adj, jnp.clip(top_p, 0).reshape(-1), pk,
+                         m0).reshape(w, h, m0)
+        nb = jnp.where((top_p >= 0)[:, :, None], nb, -1).reshape(w, -1)
+        nd = metric.gathered(q, points[jnp.clip(nb, 0)])
+        nd = jnp.where(nb >= 0, nd.astype(jnp.float32), jnp.inf)
+        cp = jnp.concatenate([cand_p, nb], axis=1)
+        cd = jnp.concatenate([cand_d, nd], axis=1)
+        # dedup by pid (equal pids carry equal exact distances), then
+        # re-rank by (dist, pid) — same recipe as _hop_repair
+        cp, cd = jax.lax.sort((cp, cd), dimension=1, num_keys=1)
+        dup = jnp.concatenate(
+            [jnp.zeros((w, 1), bool),
+             (cp[:, 1:] == cp[:, :-1]) & (cp[:, 1:] >= 0)], axis=1)
+        cd = jnp.where(dup, jnp.inf, cd)
+        cp = jnp.where(dup, -1, cp)
+        cand_d, cand_p = jax.lax.sort((cd, cp), dimension=1, num_keys=2)
+        cand_d, cand_p = cand_d[:, :efc], cand_p[:, :efc]
+    # forward selection (lib.rs:465-473); extend_candidates never runs
+    # here (split builds require it off — build_graph's split_waves)
+    if heuristic is None:
+        sel_d, sel_p = sel_ops.select_simple(cand_d, cand_p, m0)
+    else:
+        cand_pts = points[jnp.clip(cand_p, 0)]
+        sel_d, sel_p = sel_ops.select_heuristic(
+            q, cand_d, cand_p, cand_pts, metric, m0,
+            keep_pruned=heuristic[1], pd_dtype=jnp.dtype(pd_dtype))
+    sel_p = jnp.where(wvalid[:, None], sel_p, -1)
+    sel_d = jnp.where(sel_p >= 0, sel_d, jnp.inf)
+    return commit_core(adj, adjd, wave_pids, points, sel_d, sel_p,
+                       metric_name=metric_name, m0=m0,
+                       heuristic=heuristic, rev_chunk=rev_chunk,
+                       pend_cap=pend_cap, rev_rounds=rev_rounds,
+                       pd_dtype=pd_dtype, pk=pk, n_points=n_points)
+
+
 def wave_step_core(adj, adjd, wave_pids, points, stacked, offsets, n_upper,
                    zero_links, codes=None, scales=None, norms=None, *,
                    metric_name, efc: int, m: int, m0: int,
@@ -761,8 +836,15 @@ _search_step = functools.partial(
     jax.jit,
     static_argnames=("metric_name", "efc", "m", "m0", "heuristic",
                      "max_iter_factor", "expand", "search_mode",
-                     "pd_dtype", "hop_repair", "debug_iters"))(
+                     "pd_dtype", "hop_repair", "return_pool",
+                     "debug_iters"))(
     search_select_core)
+_repair_commit_step = functools.partial(
+    jax.jit,
+    static_argnames=("metric_name", "m0", "heuristic", "rev_chunk",
+                     "pend_cap", "rev_rounds", "pd_dtype", "pk",
+                     "n_points", "hops"),
+    donate_argnames=("adj", "adjd"))(repair_commit_core)
 _commit_step = functools.partial(
     jax.jit,
     static_argnames=("metric_name", "m0", "heuristic", "rev_chunk",
@@ -1240,6 +1322,11 @@ def build_graph(points, config: Config, progress=None,
                    and not (heur is not None and heur[0]))
     pk = _pk_factor(m0) if split_waves else 1
 
+    sample_cols = getattr(cfg, "construct_sample_cols", None)
+    sample_hops = int(getattr(cfg, "construct_sample_hops", 16))
+    sampling = (sample_cols is not None and search_mode.startswith("scan")
+                and int(sample_cols) < n)
+
     ckpt_key = f"v7:{n}:{pts.shape[1]}:{cfg.ef_construction}:" \
                f"{m}:{cfg.ml}:{heur}:{cfg.wave_size}:{pend_cap}:" \
                f"{rev_rounds}:{cfg.max_iter_factor}:" \
@@ -1247,6 +1334,10 @@ def build_graph(points, config: Config, progress=None,
                f"{getattr(cfg, 'select_pd_dtype', 'bfloat16')}:" \
                f"{exact_prefix}:{_hop_of(cfg)}:" \
                f"{_pool_of(cfg, search_mode)}:{pk}"
+    if sampling:
+        # sampled builds make different graphs — never cross-resume
+        # (suffix-only so pre-sampling checkpoints keep their keys)
+        ckpt_key += f":sc{int(sample_cols)}:sh{sample_hops}"
     seed = cfg.seed
     ckpt_state = None
     if checkpoint is not None:
@@ -1313,6 +1404,30 @@ def build_graph(points, config: Config, progress=None,
     if main_ops[0] is not None:
         from ..utils.metrics import force_ready
         force_ready(main_ops[0])  # real barrier: quantize temps freed
+    if sampling and main_ops[0] is not None:
+        # Cap the scan table at the first ~sample_cols columns (pids).
+        # Insertion order is a seeded shuffle, so pids [0, cap) are a
+        # uniform sample of the dataset — per-wave scan cost becomes
+        # O(cap) at any N instead of O(N), and the capped operands are
+        # the ONLY copy kept (less HBM, one program shape all build).
+        # Misses outside the sample are repaired in the commit program
+        # (repair_commit_core) or by in-search hop repair (monolith).
+        if search_mode == "scan_fused":
+            mult = (_FUSED_PACK_CB
+                    if _use_pack(metric_name, dev_points.shape[1])
+                    else _FUSED_CB)
+            cap = min(-(-int(sample_cols) // mult) * mult,
+                      main_ops[0].shape[1])
+            c0, c1, c2 = main_ops
+            if jnp.ndim(c1) > 0:        # per-point scales [1, Npad]
+                c1 = c1[:, :cap]
+            main_ops = (c0[:, :cap], c1, c2[:, :cap])
+        else:                           # flat streamed scan [N, D]
+            cap = min(-(-int(sample_cols) // 128) * 128,
+                      main_ops[0].shape[0])
+            main_ops = (main_ops[0][:cap], main_ops[1][:cap],
+                        main_ops[2][:cap])
+        force_ready(main_ops[0])        # full-size operands freed
     prow = (n + 1 + pk - 1) // pk  # physical adjacency rows (pk=1: n+1)
     adj = jnp.full((prow, pk * m0), -1, jnp.int32)
     adjd = jnp.full((prow, pk * m0), jnp.inf,
@@ -1396,14 +1511,27 @@ def build_graph(points, config: Config, progress=None,
                     m=m, m0=m0, heuristic=heur,
                     max_iter_factor=cfg.max_iter_factor,
                     expand=getattr(cfg, "construct_expand", 1),
-                    search_mode=mode_w, pd_dtype=pd_dt, hop_repair=0)
-                adj, adjd, dd = _commit_step(
-                    adj, adjd, jnp.asarray(wave), dev_points,
-                    sel_d, sel_p,
-                    metric_name=metric_name, m0=m0, heuristic=heur,
-                    rev_chunk=8192, pend_cap=pend_cap,
-                    rev_rounds=rev_rounds, pd_dtype=pd_dt,
-                    pk=pk, n_points=n)
+                    search_mode=mode_w, pd_dtype=pd_dt, hop_repair=0,
+                    return_pool=sampling)
+                if sampling:
+                    # sel_d/sel_p are the candidate POOL: hop-repair +
+                    # selection run in the commit program (which holds
+                    # the adjacency the repair needs)
+                    adj, adjd, dd = _repair_commit_step(
+                        adj, adjd, jnp.asarray(wave), dev_points,
+                        sel_d, sel_p,
+                        metric_name=metric_name, m0=m0, heuristic=heur,
+                        rev_chunk=8192, pend_cap=pend_cap,
+                        rev_rounds=rev_rounds, pd_dtype=pd_dt,
+                        pk=pk, n_points=n, hops=sample_hops)
+                else:
+                    adj, adjd, dd = _commit_step(
+                        adj, adjd, jnp.asarray(wave), dev_points,
+                        sel_d, sel_p,
+                        metric_name=metric_name, m0=m0, heuristic=heur,
+                        rev_chunk=8192, pend_cap=pend_cap,
+                        rev_rounds=rev_rounds, pd_dtype=pd_dt,
+                        pk=pk, n_points=n)
             else:
                 adj, adjd, dd = _wave_step(
                     adj, adjd, jnp.asarray(wave), dev_points, stacked,
@@ -1416,7 +1544,10 @@ def build_graph(points, config: Config, progress=None,
                     max_iter_factor=cfg.max_iter_factor,
                     expand=getattr(cfg, "construct_expand", 1),
                     search_mode=mode_w, pd_dtype=pd_dt,
-                    hop_repair=_hop_of(cfg))
+                    hop_repair=(max(_hop_of(cfg), sample_hops)
+                                if sampling and
+                                mode_w.startswith("scan")
+                                else _hop_of(cfg)))
             drops = drops + dd
             done += w
             waves_done += 1
