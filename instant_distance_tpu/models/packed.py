@@ -209,6 +209,11 @@ class PackedHnsw:
         seeds = self._seeds(entry_seeds)
         if seeds is None:
             raise ValueError("kernel engine needs entry_seeds > 0")
+        # Fused rows pack ids+scales into one 128-lane meta row, which
+        # caps K at 64 (walk_kernel.pack_walk_fused); wider graphs fall
+        # back to the split codes+meta layout instead of raising.
+        if fused_rows and self.zero_pack[1].shape[1] > 64:
+            fused_rows = False
         if fused_rows:
             codes, meta, kp, dp = self._walk_operands_fused()
         else:

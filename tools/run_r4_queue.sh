@@ -28,7 +28,8 @@ run() {
     echo "=== $name rc=$? (tail):"; tail -5 "/tmp/q_$name.log"
 }
 
-for stage in "${@:-kgroup walkvar sweep walkreal}"; do
+stages=("$@"); [ $# -eq 0 ] && stages=(kgroup walkvar sweep walkreal)
+for stage in "${stages[@]}"; do
   case "$stage" in
     kgroup)   run kgroup 3600 tools/tune_kgroup.py ;;
     walkvar)  run walkvar 1800 tools/test_walk_tpu.py 200000 ;;
