@@ -1318,9 +1318,17 @@ def build_graph(points, config: Config, progress=None,
     # need the adjacency: scan-mode candidates, no hop repair, no
     # extend_candidates (all three are the defaults); those builds also
     # store the adjacency lane-packed (pk > 1, see _pk_* helpers)
+    import os as _os
+    # diagnostics: INSTANT_TPU_NO_SPLIT / INSTANT_TPU_NO_PK revert to
+    # the r3 monolithic-wave / unpacked-adjacency recipes so a build
+    # -time regression can be attributed on hardware (r4 bench build_s
+    # 745.95 s vs r3 344.4 s at 1M x 128 — drift or structure?)
     split_waves = (search_mode.startswith("scan") and _hop_of(cfg) == 0
-                   and not (heur is not None and heur[0]))
-    pk = _pk_factor(m0) if split_waves else 1
+                   and not (heur is not None and heur[0])
+                   and not _os.environ.get("INSTANT_TPU_NO_SPLIT"))
+    pk = (_pk_factor(m0)
+          if split_waves and not _os.environ.get("INSTANT_TPU_NO_PK")
+          else 1)
 
     sample_cols = getattr(cfg, "construct_sample_cols", None)
     sample_hops = int(getattr(cfg, "construct_sample_hops", 16))

@@ -35,6 +35,10 @@ CKPT = os.environ.get("BENCH_BUILD_CKPT")  # path -> checkpoint/resume
 #: At 10M a checkpoint round-trips ~5 GB through the dev tunnel's slow
 #: relay — space them out (or effectively disable) for timing runs.
 CKPT_EVERY = int(os.environ.get("BENCH_BUILD_CKPT_EVERY", 256))
+#: Sampled prefix scan (Config.construct_sample_cols): caps per-wave
+#: scan cost at O(sample) instead of O(N) — the round-5 O(N^2) fix.
+SAMPLE = os.environ.get("BENCH_BUILD_SAMPLE")
+SAMPLE_HOPS = int(os.environ.get("BENCH_BUILD_SAMPLE_HOPS", 16))
 
 
 def run(n: int, mode: str):
@@ -42,7 +46,9 @@ def run(n: int, mode: str):
                                n_clusters=max(100, n // 100), seed=3)
     pts, queries = data[:n], data[n:]
     cfg = Config(seed=3, wave_size=4096, construct_mode=mode,
-                 dist_cache_dtype=CACHE_DTYPE)
+                 dist_cache_dtype=CACHE_DTYPE,
+                 construct_sample_cols=int(SAMPLE) if SAMPLE else None,
+                 construct_sample_hops=SAMPLE_HOPS)
     print(f"[build] N={n:,} D={D} mode={mode} ...", flush=True)
     t0 = time.time()
     from instant_distance_tpu.utils.metrics import BuildStats
