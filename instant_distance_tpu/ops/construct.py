@@ -1154,6 +1154,31 @@ def extend_graph(points, zero, layers, new_points, config: Config,
     main_ops, flat_ops = _scan_operands_jit(
         all_pts, search_mode=search_mode, metric_name=metric_name,
         exact_prefix=exact_prefix)
+    # capped sample scan for adds (same design as build_graph: pids
+    # [0, cap) of the original build are a uniform sample — its
+    # insertion order was a seeded shuffle; hop repair recovers the
+    # rest through the graph)
+    sample_cols = getattr(cfg, "construct_sample_cols", None)
+    sample_hops = int(getattr(cfg, "construct_sample_hops", 16))
+    sampling = (sample_cols is not None
+                and search_mode.startswith("scan")
+                and int(sample_cols) < n_total)
+    if sampling and main_ops[0] is not None:
+        if search_mode == "scan_fused":
+            mult = (_FUSED_PACK_CB
+                    if _use_pack(metric_name, all_pts.shape[1])
+                    else _FUSED_CB)
+            cap = min(-(-int(sample_cols) // mult) * mult,
+                      main_ops[0].shape[1])
+            c0, c1, c2 = main_ops
+            if jnp.ndim(c1) > 0:
+                c1 = c1[:, :cap]
+            main_ops = (c0[:, :cap], c1, c2[:, :cap])
+        else:
+            cap = min(-(-int(sample_cols) // 128) * 128,
+                      main_ops[0].shape[0])
+            main_ops = (main_ops[0][:cap], main_ops[1][:cap],
+                        main_ops[2][:cap])
     drops = jnp.int32(0)
     done = 0
     for s, e in _wave_schedule(n_old, n_total, cfg.wave_size):
@@ -1177,7 +1202,9 @@ def extend_graph(points, zero, layers, new_points, config: Config,
             expand=getattr(cfg, "construct_expand", 1),
             search_mode=mode_w,
             pd_dtype=getattr(cfg, "select_pd_dtype", "bfloat16"),
-            hop_repair=_hop_of(cfg))
+            hop_repair=(max(_hop_of(cfg), sample_hops)
+                        if sampling and mode_w.startswith("scan")
+                        else _hop_of(cfg)))
         drops = drops + dd
         done += w
         if progress is not None:

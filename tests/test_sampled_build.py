@@ -72,6 +72,19 @@ def test_sample_ge_n_is_inactive(pts):
                                   np.asarray(ref.zero))
 
 
+def test_sampled_add_meets_recall_floor(pts):
+    """Incremental adds under sampling (extend_graph): the capped scan
+    + monolith hop repair must hold the same floor as unsampled adds."""
+    data, queries = pts
+    cfg = Config(seed=41, wave_size=512, construct_mode="scan",
+                 construct_sample_cols=1024, construct_sample_hops=16)
+    idx, ids = Hnsw.build(data[:2048], cfg)
+    new_ids = idx.add(data[2048:])
+    all_ids = np.concatenate([ids, new_ids])
+    r = _recall(idx, all_ids, data, queries)
+    assert r >= 0.95, f"sampled add recall {r}"
+
+
 def test_sampling_invalidates_checkpoint(pts):
     """A sampled build must not resume an unsampled checkpoint (the
     graphs differ); the key carries the sampling params as a pure
