@@ -39,6 +39,8 @@ for stage in "${stages[@]}"; do
     b10m_sampled)
         run b10m_sampled 9000 env BENCH_BUILD_D=96 \
             BENCH_BUILD_CACHE_DTYPE=bfloat16 BENCH_BUILD_SAMPLE=4194304 \
+            BENCH_BUILD_CKPT=/tmp/build10m_s.ckpt.npz \
+            BENCH_BUILD_CKPT_EVERY=512 \
             python -u tools/bench_build.py scan 10000000 ;;
     bench)  run bench 7200 python -u bench.py ;;
     b1m_mono)
