@@ -747,8 +747,22 @@ def repair_commit_core(adj, adjd, wave_pids, points, cand_d, cand_p, *,
         nb = _pk_row_get(adj, jnp.clip(top_p, 0).reshape(-1), pk,
                          m0).reshape(w, h, m0)
         nb = jnp.where((top_p >= 0)[:, :, None], nb, -1).reshape(w, -1)
-        nd = metric.gathered(q, points[jnp.clip(nb, 0)])
-        nd = jnp.where(nb >= 0, nd.astype(jnp.float32), jnp.inf)
+        # hop distances in sequential column chunks: one [W, h*m0, D]
+        # f32 gather is a ~2 GB HLO temp at 10M shapes (4096 x 1024 x
+        # 128) on a chip already holding the ~9.6 GB build plan.  The
+        # optimization_barrier chains chunk i+1's query operand to
+        # chunk i's result so XLA cannot overlap the chunks' gather
+        # temporaries (same trick as the packed-scan chunk loop).
+        parts, tok = [], q
+        ch = 256
+        for cs in range(0, nb.shape[1], ch):
+            q_c = jax.lax.optimization_barrier((q, tok))[0]
+            sub = nb[:, cs:cs + ch]
+            sd = metric.gathered(q_c, points[jnp.clip(sub, 0)])
+            sd = jnp.where(sub >= 0, sd.astype(jnp.float32), jnp.inf)
+            parts.append(sd)
+            tok = sd
+        nd = jnp.concatenate(parts, axis=1)
         cp = jnp.concatenate([cand_p, nb], axis=1)
         cd = jnp.concatenate([cand_d, nd], axis=1)
         # dedup by pid (equal pids carry equal exact distances), then
