@@ -186,6 +186,9 @@ class Config:
             raise ValueError("ef_search and ef_construction must be >= 1")
         if self.m < 1:
             raise ValueError("m must be >= 1")
+        if (self.construct_sample_cols is not None
+                and self.construct_sample_cols < 1):
+            raise ValueError("construct_sample_cols must be >= 1")
 
     @property
     def m0(self) -> int:

@@ -180,7 +180,12 @@ class Hnsw:
         accelerator is attached; same construction recipe).
         """
         config = config or Config()
-        _check_points(np.asarray(points, np.float32), "points")
+        # shape-only check: np.shape works on arrays and nested lists
+        # without materializing a dtype-converted copy of the dataset
+        shape = np.shape(points)
+        if len(shape) != 2:
+            raise ValueError(
+                f"points must be a [N, D] 2-D array, got shape {shape}")
         if backend == "native":
             from ..native import NativeHnsw
 

@@ -229,6 +229,24 @@ def _pk_row_set(a, rows, vals, pk: int, m0: int):
 # the jitted wave step
 # ---------------------------------------------------------------------------
 
+def _merge_dedup_rerank(cand_d, cand_p, nd, nb, efc: int):
+    """Merge hop candidates (nd, nb) into the pool, dedup by pid, and
+    re-rank by (dist, pid).  Dedup relies on equal pids carrying equal
+    exact distances, so which copy survives is immaterial; a pid-sort
+    puts duplicates adjacent."""
+    w = cand_p.shape[0]
+    cp = jnp.concatenate([cand_p, nb], axis=1)
+    cd = jnp.concatenate([cand_d, nd], axis=1)
+    cp, cd = jax.lax.sort((cp, cd), dimension=1, num_keys=1)
+    dup = jnp.concatenate(
+        [jnp.zeros((w, 1), bool),
+         (cp[:, 1:] == cp[:, :-1]) & (cp[:, 1:] >= 0)], axis=1)
+    cd = jnp.where(dup, jnp.inf, cd)
+    cp = jnp.where(dup, -1, cp)
+    cd, cp = jax.lax.sort((cd, cp), dimension=1, num_keys=2)
+    return cd[:, :efc], cp[:, :efc]
+
+
 def _hop_repair(q, cand_d, cand_p, adj, points, metric, hops: int):
     """Merge the graph neighbors of the top-``hops`` candidates into the
     candidate list (exact distances, deduped, re-ranked).
@@ -255,18 +273,7 @@ def _hop_repair(q, cand_d, cand_p, adj, points, metric, hops: int):
     nb = jnp.where((top_p >= 0)[:, :, None], nb, -1).reshape(w, -1)
     nd = metric.gathered(q, points[jnp.clip(nb, 0)])
     nd = jnp.where(nb >= 0, nd, jnp.inf)
-    cp = jnp.concatenate([cand_p, nb], axis=1)
-    cd = jnp.concatenate([cand_d, nd], axis=1)
-    # dedup: pid-sort puts duplicates adjacent (equal pids carry equal
-    # exact distances, so which copy survives is immaterial)
-    cp, cd = jax.lax.sort((cp, cd), dimension=1, num_keys=1)
-    dup = jnp.concatenate(
-        [jnp.zeros((w, 1), bool),
-         (cp[:, 1:] == cp[:, :-1]) & (cp[:, 1:] >= 0)], axis=1)
-    cd = jnp.where(dup, jnp.inf, cd)
-    cp = jnp.where(dup, -1, cp)
-    cd, cp = jax.lax.sort((cd, cp), dimension=1, num_keys=2)
-    return cd[:, :efc], cp[:, :efc]
+    return _merge_dedup_rerank(cand_d, cand_p, nd, nb, efc)
 
 
 def search_select_core(wave_pids, points, stacked, offsets, n_upper,
@@ -763,18 +770,7 @@ def repair_commit_core(adj, adjd, wave_pids, points, cand_d, cand_p, *,
             parts.append(sd)
             tok = sd
         nd = jnp.concatenate(parts, axis=1)
-        cp = jnp.concatenate([cand_p, nb], axis=1)
-        cd = jnp.concatenate([cand_d, nd], axis=1)
-        # dedup by pid (equal pids carry equal exact distances), then
-        # re-rank by (dist, pid) — same recipe as _hop_repair
-        cp, cd = jax.lax.sort((cp, cd), dimension=1, num_keys=1)
-        dup = jnp.concatenate(
-            [jnp.zeros((w, 1), bool),
-             (cp[:, 1:] == cp[:, :-1]) & (cp[:, 1:] >= 0)], axis=1)
-        cd = jnp.where(dup, jnp.inf, cd)
-        cp = jnp.where(dup, -1, cp)
-        cand_d, cand_p = jax.lax.sort((cd, cp), dimension=1, num_keys=2)
-        cand_d, cand_p = cand_d[:, :efc], cand_p[:, :efc]
+        cand_d, cand_p = _merge_dedup_rerank(cand_d, cand_p, nd, nb, efc)
     # forward selection (lib.rs:465-473); extend_candidates never runs
     # here (split builds require it off — build_graph's split_waves)
     if heuristic is None:
@@ -978,6 +974,24 @@ def _quantize_for_scan(points, fused: bool = False,
 # host-side build driver
 # ---------------------------------------------------------------------------
 
+def _cap_scan_ops(main_ops, sample_cols: int, search_mode: str,
+                  metric_name, d: int):
+    """Slice scan operands to the first ~``sample_cols`` pids (capped
+    sample scan; see Config.construct_sample_cols).  Rounds the cap up
+    to the kernel's point-block multiple; returns the capped triple
+    with NO references to the full-size arrays (so their HBM frees)."""
+    if search_mode == "scan_fused":
+        mult = _FUSED_PACK_CB if _use_pack(metric_name, d) else _FUSED_CB
+        cap = min(-(-int(sample_cols) // mult) * mult,
+                  main_ops[0].shape[1])
+        c0, c1, c2 = main_ops
+        if jnp.ndim(c1) > 0:            # per-point scales [1, Npad]
+            c1 = c1[:, :cap]
+        return (c0[:, :cap], c1, c2[:, :cap])
+    cap = min(-(-int(sample_cols) // 128) * 128, main_ops[0].shape[0])
+    return (main_ops[0][:cap], main_ops[1][:cap], main_ops[2][:cap])
+
+
 def _exact_prefix_of(cfg) -> int:
     """None -> 0 (always fused): the exact-prefix hybrid measured
     +0.0005 recall for +80% build time at 1M pool 200, and the deep
@@ -1178,21 +1192,8 @@ def extend_graph(points, zero, layers, new_points, config: Config,
                 and search_mode.startswith("scan")
                 and int(sample_cols) < n_total)
     if sampling and main_ops[0] is not None:
-        if search_mode == "scan_fused":
-            mult = (_FUSED_PACK_CB
-                    if _use_pack(metric_name, all_pts.shape[1])
-                    else _FUSED_CB)
-            cap = min(-(-int(sample_cols) // mult) * mult,
-                      main_ops[0].shape[1])
-            c0, c1, c2 = main_ops
-            if jnp.ndim(c1) > 0:
-                c1 = c1[:, :cap]
-            main_ops = (c0[:, :cap], c1, c2[:, :cap])
-        else:
-            cap = min(-(-int(sample_cols) // 128) * 128,
-                      main_ops[0].shape[0])
-            main_ops = (main_ops[0][:cap], main_ops[1][:cap],
-                        main_ops[2][:cap])
+        main_ops = _cap_scan_ops(main_ops, int(sample_cols), search_mode,
+                                 metric_name, all_pts.shape[1])
     drops = jnp.int32(0)
     done = 0
     for s, e in _wave_schedule(n_old, n_total, cfg.wave_size):
@@ -1461,21 +1462,8 @@ def build_graph(points, config: Config, progress=None,
         # the ONLY copy kept (less HBM, one program shape all build).
         # Misses outside the sample are repaired in the commit program
         # (repair_commit_core) or by in-search hop repair (monolith).
-        if search_mode == "scan_fused":
-            mult = (_FUSED_PACK_CB
-                    if _use_pack(metric_name, dev_points.shape[1])
-                    else _FUSED_CB)
-            cap = min(-(-int(sample_cols) // mult) * mult,
-                      main_ops[0].shape[1])
-            c0, c1, c2 = main_ops
-            if jnp.ndim(c1) > 0:        # per-point scales [1, Npad]
-                c1 = c1[:, :cap]
-            main_ops = (c0[:, :cap], c1, c2[:, :cap])
-        else:                           # flat streamed scan [N, D]
-            cap = min(-(-int(sample_cols) // 128) * 128,
-                      main_ops[0].shape[0])
-            main_ops = (main_ops[0][:cap], main_ops[1][:cap],
-                        main_ops[2][:cap])
+        main_ops = _cap_scan_ops(main_ops, int(sample_cols), search_mode,
+                                 metric_name, dev_points.shape[1])
         force_ready(main_ops[0])        # full-size operands freed
     prow = (n + 1 + pk - 1) // pk  # physical adjacency rows (pk=1: n+1)
     adj = jnp.full((prow, pk * m0), -1, jnp.int32)
