@@ -49,7 +49,7 @@ for stage in "${stages[@]}"; do
     b1m_def)
         run b1m_def 2400 python -u tools/bench_build.py scan 1000000 ;;
     walkvar)  run walkvar 1800 python -u tools/test_walk_tpu.py 200000 ;;
-    walkreal) run walkreal 1800 python -u tools/bench_walk_real.py 1000000 ;;
+    walkreal) run walkreal 3600 python -u tools/bench_walk_real.py 1000000 ;;
     kgroup)   run kgroup 3600 python -u tools/tune_kgroup.py ;;
     *) echo "unknown stage: $stage" ;;
   esac
