@@ -83,8 +83,9 @@ def main() -> None:
     print(f"[bench] tpu build {n}x{dim}: {build_s:.1f}s "
           f"({n / build_s:,.0f} pts/s)", file=sys.stderr)
 
-    # ground truth on device (all recall blocks at once)
-    bf = BruteForce(np.asarray(index.points))
+    # ground truth on device (all recall blocks at once); the device
+    # array is passed through so BruteForce shares the index's buffer
+    bf = BruteForce(index.points)
     gt_d, gt_i = bf.search_batch(queries[:n_queries], k)
     gt_i = np.asarray(gt_i)
 

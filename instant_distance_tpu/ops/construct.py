@@ -1662,11 +1662,23 @@ def build_graph(points, config: Config, progress=None,
     adjd = None  # noqa: F841  (cell var: save_ckpt never runs again)
     main_ops = flat_ops = None  # noqa: F841
     stacked = None  # noqa: F841  (snapshots already sliced out)
+    if pad_d:
+        # free the PADDED point table before the adjacency unpack: the
+        # unpack peaks at packed + unpacked adjacency (2.56 + 5.12 GB
+        # at 10M, the [N, 64] result pays TPU 128-lane padding) and the
+        # 5.12 GB padded table alongside OOM'd the r5 10M resume at the
+        # 99.9% mark — every wave done, death on the very last slice.
+        # The compact table re-uploads below, after the unpack settles.
+        dev_points = None
     if pk > 1:
         # unpack to the BuiltGraph contract ([N, m0]); row-major reshape
-        # is the exact inverse of the packed layout (see _pk_* helpers)
-        adj = adj.reshape(-1, m0)
-    adj = adj[:n]  # slice while the padded points are NOT yet doubled
+        # is the exact inverse of the packed layout (see _pk_* helpers).
+        # One donated jit program: eager reshape-then-slice dispatches
+        # twice and holds source + reshape + slice buffers concurrently.
+        adj = jax.jit(lambda a: a.reshape(-1, m0)[:n],
+                      donate_argnums=0)(adj)
+    else:
+        adj = adj[:n]  # drop the sink row
     if pad_d:
         # hand back COMPACT points (the BuiltGraph/Hnsw contract): a
         # fresh host upload, not a device slice — slicing would both
