@@ -59,15 +59,46 @@ class BruteForce:
         self.metric = resolve(metric)
         self.chunk = int(min(chunk, max(1, self.points.shape[0])))
 
+    #: Tables larger than this many bytes stream through bounded outer
+    #: slices (one compiled program over the whole table pads + stages
+    #: tiled copies of it — RESOURCE_EXHAUSTED at [10M, 96] next to a
+    #: freshly built index's ~9 GB of resident arrays).
+    OUTER_BYTES = 1 << 30
+
+    def _metric_arg(self):
+        return (self.metric.name
+                if self.metric.name in ("sqeuclidean", "euclidean",
+                                        "dot", "cosine")
+                else self.metric.fn)
+
     def search_batch(self, queries, k: int):
         """Exact top-k for a [B, D] query batch -> (dists [B,k], ids [B,k])."""
         queries = jnp.asarray(queries, jnp.float32)
         if queries.ndim == 1:
             queries = queries[None]
-        k = int(min(k, self.points.shape[0]))
-        return _search_jit(queries, self.points, k=k,
-                           metric_name=self.metric.name
-                           if self.metric.name in ("sqeuclidean", "euclidean",
-                                                   "dot", "cosine")
-                           else self.metric.fn,
-                           chunk=self.chunk)
+        n, d = self.points.shape
+        k = int(min(k, n))
+        if n * d * 4 <= self.OUTER_BYTES:
+            return _search_jit(queries, self.points, k=k,
+                               metric_name=self._metric_arg(),
+                               chunk=self.chunk)
+        # streaming path: per-slice exact top-k with a host-side
+        # (dist, id) lexicographic merge.  Each slice dispatch is
+        # sequenced by its [B, k] readback, so peak extra HBM is one
+        # table slice + its program temps (~2 GB) regardless of N.
+        outer = max(self.chunk, (self.OUTER_BYTES // (d * 4) //
+                                 self.chunk) * self.chunk)
+        parts_d, parts_i = [], []
+        for cs in range(0, n, outer):
+            ce = min(cs + outer, n)
+            sd, si = _search_jit(queries, self.points[cs:ce], k=k,
+                                 metric_name=self._metric_arg(),
+                                 chunk=min(self.chunk, ce - cs))
+            sd, si = np.asarray(sd), np.asarray(si)
+            parts_d.append(sd)
+            parts_i.append(np.where(si >= 0, si + cs, -1))
+        cd = np.concatenate(parts_d, axis=1)
+        ci = np.concatenate(parts_i, axis=1)
+        order = np.lexsort((ci, cd), axis=1)[:, :k]
+        return (jnp.asarray(np.take_along_axis(cd, order, axis=1)),
+                jnp.asarray(np.take_along_axis(ci, order, axis=1)))

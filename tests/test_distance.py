@@ -77,3 +77,24 @@ def test_brute_force_topk():
     # ids agree with an argsort ground truth
     want_i = np.argsort(full, axis=1)[:, :10]
     assert (i == want_i).mean() > 0.99  # ties may reorder
+
+
+def test_bruteforce_streaming_equivalence(monkeypatch):
+    """The outer-sliced streaming path (tables past OUTER_BYTES) must
+    return exactly the one-program path's results (same (dist, id)
+    candidate order, including -1 invalid lanes when k > n)."""
+    import numpy as np
+
+    from instant_distance_tpu.models.brute import BruteForce
+
+    rng = np.random.default_rng(11)
+    pts = rng.random((1000, 8), dtype=np.float32)
+    q = rng.random((16, 8), dtype=np.float32)
+    ref_d, ref_i = (np.asarray(x) for x in
+                    BruteForce(pts, chunk=128).search_batch(q, 10))
+    monkeypatch.setattr(BruteForce, "OUTER_BYTES", 8 * 128 * 4)
+    sd, si = (np.asarray(x) for x in
+              BruteForce(pts, chunk=128).search_batch(q, 10))
+    np.testing.assert_array_equal(si, ref_i)
+    # slice-offset matmuls reassociate: distances agree to float ulps
+    np.testing.assert_allclose(sd, ref_d, rtol=1e-5, atol=1e-6)
