@@ -235,7 +235,8 @@ class PackedHnsw:
             qp, bd0, bp0, codes, meta, kp=kp, expand=e_n, ef=ef,
             max_iters=cfg.max_iter_factor * ef + 16, bq=bq,
             interpret=jax.default_backend() == "cpu",
-            fused_rows=fused_rows, merge=merge)
+            fused_rows=fused_rows, merge=merge,
+            k=self.zero_pack[1].shape[1])
         bd, bp = bd[:b0], bp[:b0]
         if not rerank:
             return bd[:, :k], bp[:, :k]

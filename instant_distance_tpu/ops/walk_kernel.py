@@ -42,6 +42,7 @@ zero column adds 0 to every squared-L2 term).
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -77,7 +78,11 @@ def pack_walk_fused(ids, scales, codes):
     byte-plane layout makes the in-kernel reconstruction four full
     sublane-row slices + shift/or arithmetic — no cross-lane strides,
     no dtype-width bitcasts, hardware-layout-independent.
-    Requires D % 128 == 0 and K <= 64."""
+    Requires D % 128 == 0 and K <= 64.  Rows are padded to a multiple
+    of 8 (Mosaic requires HBM row-slice sublane extents aligned to the
+    (8, 128) tile — an unpadded K+4 = 36/68 block fails to compile);
+    callers must pass the true ``k`` to :func:`walk_search` since it is
+    no longer ``rows - 4``."""
     codes = np.asarray(codes, np.int8)
     n, k, d = codes.shape
     if d % 128 or k > 64:
@@ -86,9 +91,10 @@ def pack_walk_fused(ids, scales, codes):
     meta[:, :k] = np.asarray(ids, np.int32)
     meta[:, 64:64 + k] = np.asarray(scales, np.float32).view(np.int32)
     planes = meta.view(np.uint8).reshape(n, 128, 4).transpose(0, 2, 1)
-    frow = np.zeros((n, k + 4, d), np.int8)
+    rpad = ((k + 4 + 7) // 8) * 8
+    frow = np.zeros((n, rpad, d), np.int8)
     frow[:, :k, :] = codes
-    frow[:, k:, :128] = planes.view(np.int8)
+    frow[:, k:k + 4, :128] = planes.view(np.int8)
     return frow
 
 
@@ -309,12 +315,12 @@ def _walk_kernel(q_ref, bd0_ref, bp0_ref, codes_ref, meta_ref,
 @functools.partial(
     jax.jit, static_argnames=("kp", "expand", "ef", "max_iters", "bq",
                               "pid_via_smem", "interpret", "fused_rows",
-                              "merge"))
+                              "merge", "k"))
 def walk_search(queries, beam_d0, beam_p0, codes, meta, *, kp: int,
                 expand: int = 2, ef: int = 16, max_iters: int = 144,
                 bq: int = 128, pid_via_smem: bool = True,
                 interpret: bool = False, fused_rows: bool = False,
-                merge: str = "extract"):
+                merge: str = "extract", k: Optional[int] = None):
     """Fused packed-graph beam search (approx distances, no rerank).
 
     Args:
@@ -322,17 +328,21 @@ def walk_search(queries, beam_d0, beam_p0, codes, meta, *, kp: int,
       beam_d0/beam_p0: [B, ef] initial beam (seed-entry output placed in
         the leading slots, +inf/-1 elsewhere), sorted ascending.
       codes: [N, K, D] int8 inline neighbor codes (zero_pack), or with
-        ``fused_rows=True`` the [N, K+4, D] rows of
-        :func:`pack_walk_fused` (metadata inline -> ONE DMA/expansion).
+        ``fused_rows=True`` the 8-row-aligned [N, Kpad, D] rows of
+        :func:`pack_walk_fused` (metadata inline -> ONE DMA/expansion;
+        pass the true ``k`` — it is no longer derivable from Kpad).
       meta:  [N, 2*kp] int32 rows from :func:`pack_walk_meta`
         (``fused_rows=False`` only; pass a [1, 128] dummy otherwise).
       merge: "extract" (min-extraction, O(ef*T)) or "count"
         (counting rank, O(T^2)) — identical beam order either way.
+      k: true neighbor count; defaults to codes.shape[1] for the split
+        layout and codes.shape[1] - 4 for legacy unpadded fused rows.
     Returns (bd [B, ef] f32 approx dists, bp [B, ef] i32), beam-sorted.
     """
     b, d = queries.shape
     n, kc, dc = codes.shape
-    k = kc - 4 if fused_rows else kc
+    if k is None:
+        k = kc - 4 if fused_rows else kc
     assert dc == d and b % bq == 0
     if not interpret and d % 128:
         raise ValueError(f"D = {d} must be a multiple of 128 lanes")

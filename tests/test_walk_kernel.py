@@ -92,7 +92,7 @@ def test_walk_kernel_fused_rows_matches_xla_beam(expand):
         jnp.asarray(queries), bd0, bp0, jnp.asarray(frow),
         jnp.zeros((1, 128), jnp.int32),
         kp=64, expand=expand, ef=ef, max_iters=8 * ef + 16, bq=8,
-        interpret=True, fused_rows=True)
+        interpret=True, fused_rows=True, k=k)
 
     np.testing.assert_array_equal(np.asarray(xp), np.asarray(kpids))
     np.testing.assert_allclose(np.asarray(xd), np.asarray(kd),

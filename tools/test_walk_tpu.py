@@ -76,7 +76,8 @@ def run_variant(name, bq=128):
     c, m = v["ops"]
     return walk_search(queries, bd0, bp0, c, m, kp=v["kp"],
                        expand=EXPAND, ef=EF, max_iters=MAX_IT, bq=bq,
-                       fused_rows=v["fused_rows"], merge=v["merge"])
+                       fused_rows=v["fused_rows"], merge=v["merge"],
+                       k=K)
 
 
 t0 = time.time()
