@@ -180,6 +180,12 @@ class Config:
     #: runs inside the commit program, which already holds the
     #: adjacency, so the split search/commit memory plan survives.
     construct_sample_hops: int = 16
+    #: Scan-mode wave-program structure: None = auto (split the wave
+    #: into separate search and commit programs only when the
+    #: monolithic program's memory plan would not fit — the split is
+    #: required at 10M x 96 but costs ~15% build time at 1M, measured
+    #: interleaved).  True/False force the choice.
+    construct_split: Optional[bool] = None
 
     def __post_init__(self) -> None:
         if self.ef_construction < 1 or self.ef_search < 1:

@@ -1361,13 +1361,25 @@ def build_graph(points, config: Config, progress=None,
     # extend_candidates (all three are the defaults); those builds also
     # store the adjacency lane-packed (pk > 1, see _pk_* helpers)
     import os as _os
-    # diagnostics: INSTANT_TPU_NO_SPLIT / INSTANT_TPU_NO_PK revert to
-    # the r3 monolithic-wave / unpacked-adjacency recipes so a build
-    # -time regression can be attributed on hardware (r4 bench build_s
-    # 745.95 s vs r3 344.4 s at 1M x 128 — drift or structure?)
-    split_waves = (search_mode.startswith("scan") and _hop_of(cfg) == 0
-                   and not (heur is not None and heur[0])
-                   and not _os.environ.get("INSTANT_TPU_NO_SPLIT"))
+    # Split search/commit programs only when the monolithic wave
+    # program's memory plan would not fit: the split costs ~15% build
+    # time at 1M (two dispatches per wave + pk gather overhead;
+    # measured interleaved r5: monolith 327.5 s vs split 378.1 s at
+    # 1M x 128, same 0.9990 recall) but is REQUIRED at 10M x 96, where
+    # the monolith's plan is 21.2 GB on a 15.75 GB chip (r4).  The
+    # estimate anchors on that measurement (~17*m0 + 8*Dp bytes/point);
+    # Config.construct_split forces either mode, and the
+    # INSTANT_TPU_NO_SPLIT / INSTANT_TPU_NO_PK env knobs remain for
+    # hardware attribution runs.
+    can_split = (search_mode.startswith("scan") and _hop_of(cfg) == 0
+                 and not (heur is not None and heur[0]))
+    split_cfg = getattr(cfg, "construct_split", None)
+    if _os.environ.get("INSTANT_TPU_NO_SPLIT"):
+        split_cfg = False
+    if split_cfg is None:
+        dp_est = pts.shape[1] + ((-pts.shape[1]) % 128)
+        split_cfg = n * (17 * m0 + 8 * dp_est) > 8_000_000_000
+    split_waves = can_split and bool(split_cfg)
     pk = (_pk_factor(m0)
           if split_waves and not _os.environ.get("INSTANT_TPU_NO_PK")
           else 1)

@@ -66,7 +66,7 @@ def test_packed_build_bit_identical(m, monkeypatch):
     rng = np.random.default_rng(7)
     pts = rng.random((600, 32), dtype=np.float32)
     cfg = Config(seed=7, m=m, ef_construction=32, wave_size=64,
-                 construct_mode="scan")
+                 construct_mode="scan", construct_split=True)
     assert C._pk_factor(cfg.m0) > 1
     g_packed = C.build_graph(pts, cfg)
     monkeypatch.setattr(C, "_pk_factor", lambda m0: 1)
@@ -84,7 +84,7 @@ def test_packed_checkpoint_resume(tmp_path, monkeypatch):
     rng = np.random.default_rng(11)
     pts = rng.random((500, 16), dtype=np.float32)
     cfg = Config(seed=11, ef_construction=32, wave_size=64,
-                 construct_mode="scan")
+                 construct_mode="scan", construct_split=True)
     full = C.build_graph(pts, cfg)
 
     ck = str(tmp_path / "ck.npz")

@@ -39,14 +39,28 @@ def pts():
 
 
 def test_sampled_scan_meets_recall_floor(pts):
+    """Split path (construct_split=True pins the 10M-scale structure:
+    pool handoff + hop repair in the commit program)."""
+    data, queries = pts
+    idx, ids = Hnsw.build(data, Config(seed=41, wave_size=512,
+                                       construct_mode="scan",
+                                       construct_sample_cols=768,
+                                       construct_sample_hops=16,
+                                       construct_split=True))
+    r = _recall(idx, ids, data, queries)
+    # 25% sample + 1-hop repair: same floor as the unsampled build
+    assert r >= 0.97, f"sampled scan recall {r}"
+
+
+def test_sampled_scan_monolith_meets_recall_floor(pts):
+    """Auto mode at small N runs the monolith with in-search repair."""
     data, queries = pts
     idx, ids = Hnsw.build(data, Config(seed=41, wave_size=512,
                                        construct_mode="scan",
                                        construct_sample_cols=768,
                                        construct_sample_hops=16))
     r = _recall(idx, ids, data, queries)
-    # 25% sample + 1-hop repair: same floor as the unsampled build
-    assert r >= 0.97, f"sampled scan recall {r}"
+    assert r >= 0.97, f"sampled monolith recall {r}"
 
 
 def test_sampled_fused_meets_recall_floor(pts):
@@ -54,7 +68,8 @@ def test_sampled_fused_meets_recall_floor(pts):
     idx, ids = Hnsw.build(data, Config(seed=41, wave_size=512,
                                        construct_mode="scan_fused",
                                        construct_sample_cols=1024,
-                                       construct_sample_hops=16))
+                                       construct_sample_hops=16,
+                                       construct_split=True))
     r = _recall(idx, ids, data, queries)
     assert r >= 0.97, f"sampled fused recall {r}"
 
@@ -116,8 +131,13 @@ def _key_of(data, cfg):
             (cfg.heuristic.extend_candidates, cfg.heuristic.keep_pruned))
     pend_cap, rev_rounds = _rev_params(cfg, cfg.m0)
     search_mode = _resolve_search_mode(cfg, metric_name)
-    split = (search_mode.startswith("scan") and _hop_of(cfg) == 0
-             and not (heur is not None and heur[0]))
+    can_split = (search_mode.startswith("scan") and _hop_of(cfg) == 0
+                 and not (heur is not None and heur[0]))
+    sp = getattr(cfg, "construct_split", None)
+    if sp is None:
+        dp_est = data.shape[1] + ((-data.shape[1]) % 128)
+        sp = n * (17 * cfg.m0 + 8 * dp_est) > 8_000_000_000
+    split = can_split and bool(sp)
     pk = _pk_factor(cfg.m0) if split else 1
     key = f"v7:{n}:{data.shape[1]}:{cfg.ef_construction}:" \
           f"{cfg.m}:{cfg.ml}:{heur}:{cfg.wave_size}:{pend_cap}:" \
