@@ -389,7 +389,9 @@ def walk_search(queries, beam_d0, beam_p0, codes, meta, *, kp: int,
             pltpu.SemaphoreType.DMA(()),                    # psem
         ],
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            # v5e VMEM is 128 MiB; the default 100 MiB scoped cap rejects
+            # the bq=1024 fused variants (107.7 MiB stack) that do fit.
+            vmem_limit_bytes=127 * 1024 * 1024),
         interpret=interpret,
     )(queries, beam_d0, beam_p0, codes, meta)
     return bd, bp

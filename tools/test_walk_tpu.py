@@ -89,8 +89,12 @@ print(f"xla compile+run:    {time.time()-t0:.1f}s")
 
 for name in VARIANTS:
     t0 = time.time()
-    kd, kpid = run_variant(name)
-    force_ready((kd, kpid))
+    try:
+        kd, kpid = run_variant(name)
+        force_ready((kd, kpid))
+    except Exception as e:  # one variant's compile OOM must not kill the matrix
+        print(f"{name:14s} FAILED: {type(e).__name__}: {str(e)[:200]}")
+        continue
     pm = np.mean(np.asarray(xp) == np.asarray(kpid))
     top1 = np.mean(np.asarray(xp)[:, 0] == np.asarray(kpid)[:, 0])
     print(f"{name:14s} compile+run {time.time()-t0:5.1f}s  "
@@ -106,12 +110,19 @@ def timeit(f, reps=8):
     return (time.time() - t0) / reps
 
 
-for name in VARIANTS:
-    for bq in (128, 256):
-        tk = timeit(lambda: run_variant(name, bq=bq))
-        print(f"{name:14s} bq={bq}: {tk*1e3:6.2f} ms/batch = "
-              f"{B/tk:,.0f} qps")
+# baseline FIRST: the ratio's denominator must land even if a late
+# kernel variant fails to compile
 tx = timeit(lambda: pk.beam_search_packed(
     queries, ids, pcodes, pscales, bd0, bp0,
     jnp.zeros((B, EF), bool), max_iters=MAX_IT, expand=EXPAND))
 print(f"xla packed beam: {tx*1e3:.2f} ms/batch = {B/tx:,.0f} qps")
+for name in VARIANTS:
+    for bq in (128, 256):
+        try:
+            tk = timeit(lambda: run_variant(name, bq=bq))
+        except Exception as e:
+            print(f"{name:14s} bq={bq}: FAILED: "
+                  f"{type(e).__name__}: {str(e)[:200]}")
+            continue
+        print(f"{name:14s} bq={bq}: {tk*1e3:6.2f} ms/batch = "
+              f"{B/tk:,.0f} qps")
