@@ -48,6 +48,12 @@ for stage in "${stages[@]}"; do
             python -u tools/bench_build.py scan 1000000 ;;
     b1m_def)
         run b1m_def 2400 python -u tools/bench_build.py scan 1000000 ;;
+    b1m_s96)
+        # same recipe as b10m_sampled at 1M: the honest per-point-cost
+        # denominator for the O(N^2)-fix ratio (same D, dtype, sampling)
+        run b1m_s96 2400 env BENCH_BUILD_D=96 \
+            BENCH_BUILD_CACHE_DTYPE=bfloat16 BENCH_BUILD_SAMPLE=4194304 \
+            python -u tools/bench_build.py scan 1000000 ;;
     walkvar)  run walkvar 1800 python -u tools/test_walk_tpu.py 200000 ;;
     walkreal) run walkreal 3600 python -u tools/bench_walk_real.py 1000000 ;;
     kgroup)   run kgroup 3600 python -u tools/tune_kgroup.py ;;
