@@ -1389,13 +1389,17 @@ def build_graph(points, config: Config, progress=None,
     sampling = (sample_cols is not None and search_mode.startswith("scan")
                 and int(sample_cols) < n)
 
-    ckpt_key = f"v7:{n}:{pts.shape[1]}:{cfg.ef_construction}:" \
+    # v8: dist_cache_dtype is part of the key — a resume under a
+    # changed cache dtype must invalidate, not silently bit-view the
+    # saved cache through the wrong dtype (advisor r4)
+    ckpt_key = f"v8:{n}:{pts.shape[1]}:{cfg.ef_construction}:" \
                f"{m}:{cfg.ml}:{heur}:{cfg.wave_size}:{pend_cap}:" \
                f"{rev_rounds}:{cfg.max_iter_factor}:" \
                f"{getattr(cfg, 'construct_expand', 1)}:{search_mode}:" \
                f"{getattr(cfg, 'select_pd_dtype', 'bfloat16')}:" \
                f"{exact_prefix}:{_hop_of(cfg)}:" \
-               f"{_pool_of(cfg, search_mode)}:{pk}"
+               f"{_pool_of(cfg, search_mode)}:{pk}:" \
+               f"{getattr(cfg, 'dist_cache_dtype', 'float32')}"
     if sampling:
         # sampled builds make different graphs — never cross-resume
         # (suffix-only so pre-sampling checkpoints keep their keys)

@@ -139,13 +139,14 @@ def _key_of(data, cfg):
         sp = n * (17 * cfg.m0 + 8 * dp_est) > 8_000_000_000
     split = can_split and bool(sp)
     pk = _pk_factor(cfg.m0) if split else 1
-    key = f"v7:{n}:{data.shape[1]}:{cfg.ef_construction}:" \
+    key = f"v8:{n}:{data.shape[1]}:{cfg.ef_construction}:" \
           f"{cfg.m}:{cfg.ml}:{heur}:{cfg.wave_size}:{pend_cap}:" \
           f"{rev_rounds}:{cfg.max_iter_factor}:" \
           f"{getattr(cfg, 'construct_expand', 1)}:{search_mode}:" \
           f"{getattr(cfg, 'select_pd_dtype', 'bfloat16')}:" \
           f"{_exact_prefix_of(cfg)}:{_hop_of(cfg)}:" \
-          f"{_pool_of(cfg, search_mode)}:{pk}"
+          f"{_pool_of(cfg, search_mode)}:{pk}:" \
+          f"{getattr(cfg, 'dist_cache_dtype', 'float32')}"
     sc = getattr(cfg, "construct_sample_cols", None)
     if sc is not None and search_mode.startswith("scan") and int(sc) < n:
         key += f":sc{int(sc)}:sh{getattr(cfg, 'construct_sample_hops', 16)}"
