@@ -39,6 +39,46 @@ CKPT_EVERY = int(os.environ.get("BENCH_BUILD_CKPT_EVERY", 256))
 #: scan cost at O(sample) instead of O(N) — the round-5 O(N^2) fix.
 SAMPLE = os.environ.get("BENCH_BUILD_SAMPLE")
 SAMPLE_HOPS = int(os.environ.get("BENCH_BUILD_SAMPLE_HOPS", 16))
+#: The axon tunnel can silently drop a response under sustained load
+#: (two observed r5 wedges: a checkpoint readback and a plain wave
+#: dispatch; client+relay idle forever, connection ESTAB).  With a
+#: watchdog the process exits 42 on staleness so an outer loop can
+#: resume from the checkpoint.  0 disables.
+WATCHDOG_S = int(os.environ.get("BENCH_BUILD_WATCHDOG_S", 0))
+
+
+class _Watchdog:
+    """Exit 42 if no wave-progress heartbeat for WATCHDOG_S seconds.
+
+    Armed lazily by the first heartbeat (compile + operand prep before
+    the first wave legitimately take ~15 min); disarm() before the
+    post-build phases (ground truth streams without heartbeats)."""
+
+    def __init__(self, stale_s: int, inner):
+        import threading
+        self.stale_s = stale_s
+        self.inner = inner
+        self.last = None
+        self._stop = False
+        self._thread = threading.Thread(target=self._watch, daemon=True)
+        self._thread.start()
+
+    def __call__(self, done, total, phase):
+        self.last = time.time()
+        if self.inner is not None:
+            self.inner(done, total, phase)
+
+    def disarm(self):
+        self._stop = True
+
+    def _watch(self):
+        while not self._stop:
+            time.sleep(30)
+            if self.last is not None and not self._stop \
+                    and time.time() - self.last > self.stale_s:
+                print(f"[watchdog] no wave progress for >{self.stale_s}s "
+                      "- tunnel wedge; exiting 42 for resume", flush=True)
+                os._exit(42)
 
 
 def run(n: int, mode: str):
@@ -52,10 +92,13 @@ def run(n: int, mode: str):
     print(f"[build] N={n:,} D={D} mode={mode} ...", flush=True)
     t0 = time.time()
     from instant_distance_tpu.utils.metrics import BuildStats
-    index, ids = Hnsw.build(pts, cfg,
-                            progress=BuildStats(log_every=max(100_000,
-                                                              n // 20)),
+    prog = BuildStats(log_every=max(100_000, n // 20))
+    if WATCHDOG_S:
+        prog = _Watchdog(WATCHDOG_S, prog)
+    index, ids = Hnsw.build(pts, cfg, progress=prog,
                             checkpoint=CKPT, checkpoint_every=CKPT_EVERY)
+    if WATCHDOG_S:
+        prog.disarm()
     np.asarray(index.zero[n - 1])       # honest barrier: device readback
     dt = time.time() - t0
     print(f"N={n:>9,} mode={mode:5s} build={dt:8.1f}s "
