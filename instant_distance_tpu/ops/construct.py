@@ -1534,10 +1534,12 @@ def build_graph(points, config: Config, progress=None,
 
     layers: list = []
     done = 0
+    last_li, last_s = -1, -1   # final-checkpoint coordinates
     for li, (layer, start, end) in enumerate(ranges):
         n_upper = jnp.int32(li)  # layers completed so far == layers above
         zero_links = m0 if layer == 0 else m
         for s, e in _wave_schedule(start, end, cfg.wave_size):
+            last_li, last_s = li, s
             if (li, s) <= (resume_li, resume_s):
                 done += e - s
                 continue  # already inserted in the checkpointed state
@@ -1665,7 +1667,18 @@ def build_graph(points, config: Config, progress=None,
 
     if checkpoint is not None:
         import os
-        if os.path.exists(checkpoint):
+        if os.environ.get("INSTANT_TPU_FINAL_CKPT"):
+            # Persist the completed wave state and KEEP it: the tail
+            # (unpack, ground truth, recall probes) can still crash or
+            # wedge (r5: a compile-time layout-copy OOM killed the
+            # process AFTER a 112-minute 10M build whose checkpoint had
+            # just been deleted as "complete").  A resume from this
+            # final checkpoint skips every wave and replays only the
+            # tail.  Skipped when resuming an already-final checkpoint
+            # (waves_done == 0: nothing new to save).
+            if waves_done > 0 or not os.path.exists(checkpoint):
+                save_ckpt(last_li, last_s)
+        elif os.path.exists(checkpoint):
             os.remove(checkpoint)  # build complete
     layers.reverse()  # store as reference does: layers[l-1] = level l
     reverse_drops = int(drops)  # one device readback, post-pipeline

@@ -82,8 +82,17 @@ class _Watchdog:
 
 
 def run(n: int, mode: str):
-    data = synthetic_clustered(n + 2048, D,
-                               n_clusters=max(100, n // 100), seed=3)
+    cache = os.environ.get("BENCH_BUILD_DATA_CACHE")
+    if cache and os.path.exists(cache):
+        data = np.load(cache, mmap_mode="r")
+        assert data.shape == (n + 2048, D), data.shape
+        print(f"[data] loaded {cache}", flush=True)
+    else:
+        data = synthetic_clustered(n + 2048, D,
+                                   n_clusters=max(100, n // 100), seed=3)
+        if cache:
+            np.save(cache, data)
+            print(f"[data] cached -> {cache}", flush=True)
     pts, queries = data[:n], data[n:]
     cfg = Config(seed=3, wave_size=4096, construct_mode=mode,
                  dist_cache_dtype=CACHE_DTYPE,
@@ -110,8 +119,43 @@ def run(n: int, mode: str):
     # duplicating 3.84 GB of HBM at 10M
     gt = np.asarray(BruteForce(index.points)
                     .search_batch(queries, 10)[1])
-    _, p = index.search_batch(queries, k=10, ef=50)
-    rec = recall_at_k(np.asarray(p), gt, 10)
+    try:
+        if os.environ.get("BENCH_BUILD_HOST_RECALL"):
+            raise RuntimeError("host recall forced")  # skip doomed compile
+        _, p = index.search_batch(queries, k=10, ef=50)
+        p = np.asarray(p)
+    except Exception as exc:
+        # 10M fallback: the on-device exact-graph search program pays
+        # XLA layout-uncompression copies of the [N, 2M] adjacency and
+        # [N, D] points (4.77 + 4.77 + 2.38 GiB at 10M x 96) and OOMs
+        # a 15.75 GiB chip at compile.  The native host engine runs the
+        # same beam search (same ef) over the same graph with zero HBM
+        # pressure; readback is chunked and heartbeat-ticked so the
+        # wedge watchdog stays armed.
+        print(f"[recall] device search failed ({type(exc).__name__}); "
+              "falling back to the host engine", flush=True)
+        from instant_distance_tpu.native import NativeHnsw
+        from instant_distance_tpu.ops.construct import _np_chunked
+
+        # fresh watchdog for the multi-GB readbacks (the build one is
+        # disarmed by now); per-chunk ticks every ~20 s
+        wd = _Watchdog(WATCHDOG_S, None) if WATCHDOG_S else None
+        if wd is not None:
+            wd.last = time.time()   # armed from the first chunk
+
+        def pull(x):
+            out = _np_chunked(x)
+            if wd is not None:
+                wd(0, n, "readback")
+            return out
+        eng = NativeHnsw.from_arrays(
+            pull(index.points), pull(index.zero),
+            [pull(l) for l in index.layers], cfg.metric, cfg.m)
+        if wd is not None:
+            wd.disarm()
+        _, p = eng.search_batch(np.asarray(queries), ef=50, k=10,
+                                n_threads=0)
+    rec = recall_at_k(p, gt, 10)
     print(f"N={n:>9,} mode={mode:5s} recall@10(ef=50)={rec:.4f}",
           flush=True)
     return dt, rec
