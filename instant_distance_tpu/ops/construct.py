@@ -1667,7 +1667,16 @@ def build_graph(points, config: Config, progress=None,
 
     if checkpoint is not None:
         import os
-        if os.environ.get("INSTANT_TPU_FINAL_CKPT"):
+        final_ckpt = os.environ.get("INSTANT_TPU_FINAL_CKPT", "")
+        if final_ckpt == "keep":
+            # Keep the newest MID-BUILD checkpoint for tail-crash
+            # recovery without paying another multi-GB readback here:
+            # every observed tunnel wedge this round coincided with a
+            # checkpoint write, so the extra final save is itself the
+            # riskiest operation in the run.  A tail wedge replays the
+            # waves since the last mid-build write.
+            pass
+        elif final_ckpt:
             # Persist the completed wave state and KEEP it: the tail
             # (unpack, ground truth, recall probes) can still crash or
             # wedge (r5: a compile-time layout-copy OOM killed the
